@@ -1,0 +1,82 @@
+"""Native (JVM-side, whole-stage-codegen) text functions.
+
+The hot per-row string work stays inside Catalyst expressions — no
+Python in the loop. The reference does all of this row-at-a-time in
+driver Python (reference: src/generate_knowledge_graph/nodes/
+intro_body_separator.py:28-46); here it is one narrow projection over
+the scan, so it pipelines with the parquet read and never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: The literal split marker. Semantics (reference
+#: intro_body_separator.py:28-46): lowercase-find the FIRST occurrence;
+#: intro = text[:idx], body = text[idx+len(marker):],
+#: body_span = (idx+len(marker), len(text)). If absent: intro = "",
+#: body = full text, span = (0, len). (The reference's else-branch
+#: writes a nonexistent pydantic field; we implement the intended
+#: semantics, which FIXTURES.md F2 also specifies.)
+BODY_MARKER = "follows:"
+
+
+def split_intro_body(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``intro``, ``body``, ``body_span_start``, ``body_span_end``.
+
+    Byte-identical to the reference semantics per url (the
+    BASELINE.json input_hint invariant). Pure native expressions:
+    locate/lower/substr/length — stays in whole-stage codegen.
+    """
+    text = F.col(text_col)
+    # locate is 1-based; 0 means absent. Search is case-insensitive
+    # via lower() on the haystack only (marker is already lowercase).
+    idx = F.locate(BODY_MARKER, F.lower(text))
+    mlen = len(BODY_MARKER)
+    has = idx > 0
+    return (
+        df.withColumn("_idx", idx)
+        .withColumn("intro", F.when(has, text.substr(F.lit(1), F.col("_idx") - 1)).otherwise(F.lit("")))
+        .withColumn(
+            "body",
+            F.when(has, text.substr(F.col("_idx") + mlen, F.length(text))).otherwise(text),
+        )
+        # 0-based char offsets into the ORIGINAL text, matching the
+        # reference's (start, end) span tuple.
+        .withColumn(
+            "body_span_start",
+            F.when(has, (F.col("_idx") + mlen - 1).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn("body_span_end", F.length(text).cast("long"))
+        .drop("_idx")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (\\S+ runs), 0 for empty/blank strings."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def normalize_surface(col: Column) -> Column:
+    """Canonical normalization for entity surface forms.
+
+    lower-case, unify corporate suffixes, strip punctuation, collapse
+    whitespace. This is the exact-match tier of canonicalization;
+    fuzzy (typo) variants are handled by the LSH+CC linking stage.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"\b(corporation|corp\.?|incorporated|inc\.?|llc|ltd\.?)\b", "corp")
+    c = F.regexp_replace(c, r"[^0-9a-zÀ-ɏ一-鿿 ]+", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def summary_else_content(summary: Column, content: Column) -> Column:
+    """The reference's embedding-text rule: summary if non-blank, else
+    content (reference: utils/database.py:153-157 and the CASE WHEN in
+    tools/search_chunk.py:42)."""
+    return F.when(F.length(F.trim(summary)) > 0, summary).otherwise(content)

