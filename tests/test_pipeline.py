@@ -1,0 +1,121 @@
+"""End-to-end pipeline gates: triple P/R >= 0.95, idempotence, resume.
+
+- P/R: exact (subj, pred, obj) match after canonicalization vs the
+  generator's golden triples (FIXTURES.md F3; the BASELINE.json gate).
+- Idempotence: two independent runs materialize byte-identical
+  nodes/edges (deterministic content-derived ids — unlike the
+  reference's uuid4-per-run, utils/database.py:85,105).
+- Resume: delete the last stages' checkpoints, rerun, assert the
+  surviving stages were NOT recomputed (lineage rows don't grow) and
+  the final tables are identical.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from legal_knowledge_graph_spark.datagen import (
+    alias_table,
+    generate_golden_triples,
+    generate_pages,
+)
+from legal_knowledge_graph_spark.pipeline import run_pipeline
+
+N = 120
+
+
+def _table_fingerprint(df):
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(df.columns)]
+    return df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
+    ).collect()[0]
+
+
+def _golden_canonical(spark):
+    """surface_norm -> golden entity id, normalized the same way the
+    engine normalizes (exercised independently in test_linking)."""
+    from legal_knowledge_graph_spark.functions.text import normalize_surface
+
+    rows = alias_table()
+    df = spark.createDataFrame(rows, ["surface", "gid"])
+    return {
+        r["sn"]: r["gid"]
+        for r in df.select(normalize_surface(F.col("surface")).alias("sn"), "gid")
+        .distinct()
+        .collect()
+    }
+
+
+def test_pipeline_triple_pr_and_idempotence(spark, tmp_path):
+    pages = generate_pages(spark, N)
+    out = run_pipeline(spark, pages, str(tmp_path / "run1"))
+
+    golden = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in generate_golden_triples(spark, N).collect()
+    }
+    # engine canonical ids are surface strings; map them to golden
+    # ENT ids via the alias table for exact-match comparison
+    g_map = _golden_canonical(spark)
+    got = set()
+    for r in out["triples"].collect():
+        got.add((r["url"], g_map.get(r["subj"], r["subj"]), r["pred"], g_map.get(r["obj"], r["obj"])))
+
+    tp = len(got & golden)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(golden), 1)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+    # idempotence: a second, independent run materializes identical tables
+    out2 = run_pipeline(spark, generate_pages(spark, N), str(tmp_path / "run2"))
+    for t in ("nodes", "edges", "triples"):
+        assert tuple(_table_fingerprint(out[t])) == tuple(_table_fingerprint(out2[t])), t
+
+
+def test_pipeline_resume(spark, tmp_path):
+    wd = str(tmp_path / "resume")
+    pages = generate_pages(spark, 40)
+    out1 = run_pipeline(spark, pages, wd)
+    fp_nodes = _table_fingerprint(out1["nodes"])
+    fp_edges = _table_fingerprint(out1["edges"])
+    lineage_before = out1["nodes"].sparkSession.read.parquet(f"{wd}/_lineage")
+    early = lineage_before.where(
+        F.col("stage").isin("extracted", "mentions", "canonical_map")
+    ).count()
+
+    # simulate a crash after the chunking stage: later checkpoints lost
+    for stage in ("chunks_summarized", "nodes", "edges"):
+        shutil.rmtree(f"{wd}/{stage}", ignore_errors=True)
+
+    out2 = run_pipeline(spark, pages, wd)
+    assert tuple(_table_fingerprint(out2["nodes"])) == tuple(fp_nodes)
+    assert tuple(_table_fingerprint(out2["edges"])) == tuple(fp_edges)
+
+    lineage_after = out2["nodes"].sparkSession.read.parquet(f"{wd}/_lineage")
+    # surviving stages were read, not recomputed: no new lineage commits
+    assert (
+        lineage_after.where(
+            F.col("stage").isin("extracted", "mentions", "canonical_map")
+        ).count()
+        == early
+    )
+    # recomputed stages committed again
+    assert lineage_after.where(F.col("stage") == "nodes").count() >= 1
+    # per-partition lineage carries counts
+    assert (
+        lineage_after.agg(F.sum("row_count")).collect()[0][0] > 0
+    )
+
+
+def test_checkpoint_files_bucketed(spark, tmp_path):
+    wd = str(tmp_path / "bk")
+    run_pipeline(spark, generate_pages(spark, 30), wd)
+    # nodes/edges written partitioned by bucket (Iceberg bucket(N,id)
+    # equivalent): directory-per-bucket layout
+    assert glob.glob(f"{wd}/nodes/bucket=*"), "nodes not bucket-partitioned"
+    assert glob.glob(f"{wd}/edges/bucket=*"), "edges not bucket-partitioned"
