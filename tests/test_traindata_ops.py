@@ -1,0 +1,256 @@
+"""Training-data ops: dedup tiers, similarity search, text stats,
+multimodal plumbing — with DuckDB cross-checks where SQL-expressible
+(pre-validating the __spark_entry__ oracle pairs)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from legal_knowledge_graph_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from legal_knowledge_graph_spark.operators.multimodal import (
+    decode_features,
+    deterministic_fake_features,
+    frame_sample,
+    sniff_media_meta,
+)
+from legal_knowledge_graph_spark.operators.similarity import (
+    batch_top_k,
+    brute_force_top_k,
+    lsh_top_k,
+)
+from legal_knowledge_graph_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"create view embeddings as select * from read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Same Text"), (2, "same text "), (3, "other"), (4, "SAME TEXT")],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 4]
+
+
+def test_minhash_near_dup_finds_planted_pair(spark, docs):
+    # plant a near-duplicate of doc 0 (one token changed)
+    base = docs.where("doc_id = 0").first()["text"]
+    mutated = base.replace(base.split()[0], "zzz", 1)
+    extra = docs.sparkSession.createDataFrame(
+        [(100000, mutated)], "doc_id long, text string"
+    )
+    d = docs.select("doc_id", "text").where("doc_id < 50").unionByName(extra)
+    pairs = minhash_near_duplicates(d, "doc_id", "text", threshold=0.7).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 100000) in found
+    # verified jaccard really is above threshold
+    for r in pairs:
+        assert r["inter_size"] >= 0.7 * r["union_size"]
+
+
+def test_simhash_duckdb_parity(spark, docs, duck):
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs.where("doc_id < 40"), "doc_id", "text").collect()
+    }
+    oracle = dict(
+        duck.execute(
+            """
+            with toks as (
+              select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+              from documents where doc_id < 40 and length(trim(text)) > 0
+            ), bits as (
+              select doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint as h from toks
+              where length(tok) > 0
+            ), sums as (
+              select doc_id, i,
+                     sum(case when (h >> i) & 1 = 1 then 1 else -1 end) as s
+              from bits, generate_series(0, 31) as t(i)
+              group by doc_id, i
+            )
+            select doc_id, sum(case when s > 0 then 1::bigint << i else 0 end)::bigint as simhash
+            from sums group by doc_id
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs.where("doc_id < 60"), "doc_id", "text", "source", min_jaccard=0.2
+    )
+    rows = pairs.collect()
+    assert rows  # word-salad docs share 3-gram mass within a source
+    for r in rows:
+        assert r["inter_size"] >= 0.2 * r["union_size"]
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_embedding_near_dup_and_lsh_vs_exact(spark, embs):
+    dim = len(embs.first()["embedding"])
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long")).where("vid < 200")
+    exact_pairs = embedding_near_duplicates(sub, "vid", "embedding", threshold=0.9)
+    assert exact_pairs.count() >= 0  # shape check; threshold may be strict
+
+    q = [float(x) for x in embs.first()["embedding"]]
+    exact = brute_force_top_k(sub, "vid", "embedding", q, k=5).collect()
+    assert exact[0]["id"] == 0 and exact[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    approx = lsh_top_k(sub, "vid", "embedding", q, dim=dim, k=5).collect()
+    # the query's own vector is always in its own bucket -> rank 1
+    assert approx[0]["id"] == 0
+
+
+def test_brute_force_topk_duckdb_parity(spark, embs, duck):
+    q = [float(x) for x in embs.where("vec_id = '7'").first()["embedding"]]
+    got = [
+        (r["id"], r["rank"])
+        for r in brute_force_top_k(
+            embs.withColumn("vid", F.col("vec_id").cast("long")), "vid", "embedding", q, k=10
+        ).collect()
+    ]
+    qlit = "[" + ",".join(repr(x) for x in q) + "]::double[]"
+    oracle = duck.execute(
+        f"""
+        select vec_id::bigint as id,
+               row_number() over (order by list_cosine_similarity(embedding::double[], {qlit}) desc,
+                                  vec_id::bigint) as rank
+        from embeddings
+        order by rank limit 10
+        """
+    ).fetchall()
+    assert got == [(r[0], r[1]) for r in oracle]
+
+
+def test_batch_topk_consistent_with_single(spark, embs):
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long")).where("vid < 100")
+    queries = sub.where("vid < 3").select(
+        F.col("vid").alias("qid"), F.col("embedding").alias("qv")
+    )
+    res = batch_top_k(sub, queries, "vid", "embedding", "qid", "qv", k=3).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"]))
+    for qid in (0, 1, 2):
+        ranked = sorted(by_q[qid])
+        assert ranked[0][1] == qid  # self is rank 1
+
+
+def test_token_stats_and_quality(spark, docs, duck):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"])
+        for r in token_stats(docs.where("doc_id < 30"), "doc_id", "text").collect()
+    }
+    oracle = dict(
+        duck.execute(
+            """
+            select doc_id, (len(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                            length(text))
+            from documents where doc_id < 30
+            """
+        ).fetchall()
+    )
+    assert {k: tuple(v) for k, v in oracle.items()} == got
+
+    q = quality_score(docs.where("doc_id < 30"), "doc_id", "text").collect()
+    for r in q:
+        assert 0 <= r["q_score_x1000"] <= 1000
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big"),
+            (2, "el perro y la casa para los gatos una vez"),
+            (3, "der hund und die katze nicht mit haus"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_fingerprint_folds_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + bytes(range(200))),
+        (2, b"\xff\xd8\xff\xe0" + b"jpegdata" * 100),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    meta = {r["media_id"]: r["media_meta"] for r in sniff_media_meta(df, "blob").collect()}
+    assert meta[1]["format"] == "png"
+    assert meta[2]["format"] == "jpeg"
+    assert meta[1]["n_bytes"] == 208
+
+    feats = {
+        r["media_id"]: r["features"]
+        for r in decode_features(
+            df, "media_id", "blob", dim=16, decode_fn=deterministic_fake_features
+        ).collect()
+    }
+    assert len(feats[1]) == 16
+    assert abs(sum(feats[1]) - 1.0) < 1e-5
+    assert sum(feats[3]) == 0.0  # null blob -> zero vector, no crash
+
+    frames = frame_sample(df, "media_id", "blob", stride=64, frame_bytes=32).collect()
+    assert any(r["media_id"] == 2 and r["frame_idx"] > 0 for r in frames)
+    assert all(len(r["frame"]) <= 32 for r in frames)
+
+    with pytest.raises(Exception) as ei:
+        decode_features(df, "media_id", "blob").collect()
+    assert "NotImplementedError" in str(ei.value) or "codecs" in str(ei.value)
+
+
+def test_fake_features_deterministic():
+    import pandas as pd
+
+    blobs = pd.Series([b"abc" * 50, b"xyz"])
+    a = deterministic_fake_features(blobs)
+    b = deterministic_fake_features(blobs)
+    assert np.array_equal(a, b)
