@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship KG-construction slice at sf0.001 — planted
+relation sentences -> batched triple extraction -> normalization ->
+entity degree ranking (the extract->canonicalize->aggregate spine).
+
+``queries``/``oracle_sql``: one entry per implemented operator from
+SURVEY.md §2 (+ the training-data ops), each paired with an ANSI-SQL
+DuckDB oracle over the same parquet tables. Definitions live in
+``legal_knowledge_graph_spark/entry_queries.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from legal_knowledge_graph_spark.entry_queries import _entity_docs
+    from legal_knowledge_graph_spark.functions.text import normalize_surface
+    from legal_knowledge_graph_spark.operators.triples import extract_triples
+
+    sf_dir = "/root/testdata/sf0.001"
+    triples = extract_triples(_entity_docs(spark, sf_dir))
+    return (
+        triples.select(
+            normalize_surface(F.col("subj_surface")).alias("subj"),
+            "pred",
+            normalize_surface(F.col("obj_surface")).alias("obj"),
+        )
+        .groupBy("subj")
+        .agg(
+            F.count(F.lit(1)).alias("out_degree"),
+            F.countDistinct("obj").alias("distinct_objects"),
+            F.countDistinct("pred").alias("distinct_preds"),
+        )
+        .orderBy(F.desc("out_degree"), "subj")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from legal_knowledge_graph_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from legal_knowledge_graph_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,121 @@
+"""Per-round benchmark: headline queries + end-to-end KG pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "pipeline": {"n_pages": N, "triples": T, "sec": S,
+                "triples_per_sec": T/S}}
+
+- queries run against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- the pipeline runs end-to-end (extract -> link -> canonicalize ->
+  chunk -> summarize -> materialize) on a deterministic synthetic
+  pages table sized to the SF, generated to parquet FIRST (input
+  materialization is setup, not engine time)
+- cores from $SPARK_GRAFT_CPUS (default 32)
+
+Scaling evidence (north rule) is produced by bench_scaling.py and
+recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from legal_knowledge_graph_spark.session import get_spark  # noqa: E402
+
+#: headline operator queries (entry_queries names) timed per round
+BENCH_QUERIES = [
+    "split_intro_body",
+    "mention_counts",
+    "triple_extract",
+    "entity_link",
+    "cc_components",
+    "tree_agg",
+    "next_prev",
+    "topk_cosine",
+    "dedup_exact",
+    "dedup_minhash",
+    "simhash",
+    "ngram_jaccard",
+    "embedding_near_dup",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "salted_degree",
+]
+
+PAGES_PER_SF = 40_000  # sf0.1 -> 4,000 pages
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = infer_sf(sf_dir)
+    spark = get_spark(app_name="lkg-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from legal_knowledge_graph_spark.datagen import generate_pages
+    from legal_knowledge_graph_spark.entry_queries import QUERIES
+    from legal_knowledge_graph_spark.pipeline import run_pipeline
+
+    work = tempfile.mkdtemp(prefix="lkg_bench_")
+    try:
+        # ---- setup (untimed): materialize the input pages table
+        n_pages = max(int(sf * PAGES_PER_SF), 200)
+        pages_path = os.path.join(work, "pages")
+        generate_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+
+        # ---- timed: end-to-end construction
+        t0 = time.time()
+        out = run_pipeline(spark, pages, os.path.join(work, "kg"))
+        n_triples = out["triples"].count()
+        out["edges"].count()  # force the last stage fully
+        pipe_sec = time.time() - t0
+
+        # ---- timed: headline queries
+        q_times: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            q_times[name] = round(time.time() - t0, 3)
+
+        total = round(pipe_sec + sum(q_times.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_kg_pipeline_plus_headline_queries",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": q_times,
+                    "sf": sf,
+                    "pipeline": {
+                        "n_pages": n_pages,
+                        "triples": n_triples,
+                        "sec": round(pipe_sec, 3),
+                        "triples_per_sec": round(n_triples / pipe_sec, 2),
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

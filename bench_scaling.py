@@ -1,0 +1,88 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors; this sandbox has one machine, so the sanctioned proxy is
+the same end-to-end job at two parallelism levels (local[N] vs
+local[4N]) on the same input. Each level runs in a FRESH SparkSession
+configured exactly like a cluster submit (shuffle partitions scaled
+with cores).
+
+Prints one JSON line:
+  {"n_cores": ..., "n4_cores": ..., "t_n_sec": ..., "t_4n_sec": ...,
+   "tp_n": ..., "tp_4n": ..., "efficiency": tp_4n / (4 * tp_n),
+   "n_pages": ..., "triples": ...}
+
+Record the output in BASELINE.md per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, pages_path: str, n_expected: int) -> tuple[float, int]:
+    from legal_knowledge_graph_spark.pipeline import run_pipeline
+    from legal_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark(app_name=f"lkg-scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix=f"lkg_scale_{cores}_")
+    try:
+        pages = spark.read.parquet(pages_path)
+        t0 = time.time()
+        out = run_pipeline(spark, pages, os.path.join(work, "kg"))
+        n_triples = out["triples"].count()
+        out["edges"].count()
+        return time.time() - t0, n_triples
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "4000"))
+
+    from legal_knowledge_graph_spark.datagen import generate_pages
+    from legal_knowledge_graph_spark.session import get_spark
+
+    setup = get_spark(app_name="lkg-scaling-setup", cores=8)
+    setup.sparkContext.setLogLevel("ERROR")
+    pages_dir = tempfile.mkdtemp(prefix="lkg_scale_pages_")
+    pages_path = os.path.join(pages_dir, "pages")
+    generate_pages(setup, n_pages).write.mode("overwrite").parquet(pages_path)
+    setup.stop()
+
+    try:
+        t_n, trip_n = run_once(n, pages_path, n_pages)
+        t_4n, trip_4n = run_once(4 * n, pages_path, n_pages)
+        assert trip_n == trip_4n, "parallelism changed the result!"
+        tp_n, tp_4n = trip_n / t_n, trip_4n / t_4n
+        print(
+            json.dumps(
+                {
+                    "n_cores": n,
+                    "n4_cores": 4 * n,
+                    "n_pages": n_pages,
+                    "triples": trip_n,
+                    "t_n_sec": round(t_n, 2),
+                    "t_4n_sec": round(t_4n, 2),
+                    "tp_n": round(tp_n, 2),
+                    "tp_4n": round(tp_4n, 2),
+                    "efficiency": round(tp_4n / (4 * tp_n), 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,760 @@
+"""Driver-contract queries: each SURVEY.md §2 operator expressed as a
+(spark_query, duckdb_oracle_sql) pair over the shared testdata tables.
+
+The testdata ``documents`` corpus is a clean lowercase word-salad (no
+digits, no uppercase, no 'corp', no 'follows:'), so deterministic
+derived columns — marker prefixes, planted entity/relation sentences —
+are synthesized IDENTICALLY in Spark and in the oracle SQL; the
+operators then run on controlled input where the oracle is exactly
+computable. The Spark side always goes through the REAL operator
+functions (operators/*.py), not reimplementations.
+
+Float discipline: query outputs are integers/strings wherever possible
+(scaled ints, ranks, counts, md5 hex). The only float outputs are
+rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- shared
+# derived-input definitions (must match the SQL fragments EXACTLY)
+
+MARKER_PREFIX_SQL = (
+    "case when doc_id % 10 = 7 then text else "
+    "'AGREEMENT ' || doc_id || '. The parties agree as follows:' || text end"
+)
+
+ENTITY_SUFFIX_SQL = (
+    "text || ' Alpha Falcon ' || (100 + doc_id % 50) || ' Corp acquires "
+    "Beta Otter ' || (200 + doc_id % 50) || ' Corp. Gamma Harbor ' || "
+    "(300 + doc_id % 25) || ' Corporation supplies Alpha Falcon ' || "
+    "(100 + doc_id % 50) || ' Corp.'"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _marked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn("text", F.expr(MARKER_PREFIX_SQL))
+
+
+def _entity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages-shaped frame with planted entity/relation sentences."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.expr(ENTITY_SUFFIX_SQL).alias("body"),
+        F.lit(0).cast("long").alias("body_span_start"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_split_intro_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.functions.text import split_intro_body
+
+    return split_intro_body(_marked_docs(spark, sf_dir), "text").select(
+        "doc_id", "intro", "body", "body_span_start", "body_span_end"
+    )
+
+
+SQL_SPLIT = f"""
+with d as (select doc_id, {MARKER_PREFIX_SQL} as text from documents),
+s as (select doc_id, text, strpos(lower(text), 'follows:') as idx from d)
+select doc_id,
+       case when idx > 0 then substr(text, 1, idx - 1) else '' end as intro,
+       case when idx > 0 then substr(text, idx + 8) else text end as body,
+       case when idx > 0 then idx + 8 - 1 else 0 end::bigint as body_span_start,
+       length(text)::bigint as body_span_end
+from s
+"""
+
+
+_SURF_RE_SQL = "[A-Za-z]+ [A-Za-z]+ [0-9]+ Corp(?:oration)?"
+
+
+def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection (M1) projected offset-free per (url, surface):
+    the planted 'Alpha Falcon k Corp' repeats within a doc and SQL has
+    no all-occurrence match positions, so the oracle-comparable shape
+    is counts + first-occurrence start + last-occurrence end (the
+    latter via the reversed-string strpos trick)."""
+    from legal_knowledge_graph_spark.operators.triples import detect_mentions
+
+    return (
+        detect_mentions(_entity_docs(spark, sf_dir))
+        .groupBy("url", "surface")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("m_start").alias("first_start"),
+            F.max("m_end").alias("last_end"),
+        )
+    )
+
+
+SQL_MENTION_COUNTS = f"""
+with d as (select doc_id::varchar as url, {ENTITY_SUFFIX_SQL} as body from documents),
+m as (select url, body, unnest(regexp_extract_all(body, '{_SURF_RE_SQL}')) as surface from d)
+select url, surface, count(*)::bigint as n_mentions,
+       min(strpos(body, surface) - 1)::bigint as first_start,
+       min(length(body) - strpos(reverse(body), reverse(surface)) + 1)::bigint as last_end
+from m group by url, surface, body
+"""
+
+
+def q_triple_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.triples import extract_triples
+
+    return extract_triples(_entity_docs(spark, sf_dir)).select(
+        "url", "subj_surface", "pred", "obj_surface", "span_start", "span_end"
+    )
+
+
+_TRIPLE_RE_SQL = f"({_SURF_RE_SQL}) (acquires|party_to|supplies|owns|cites|indemnifies|licenses|governs) ({_SURF_RE_SQL})\\."
+
+SQL_TRIPLES = f"""
+with d as (select doc_id::varchar as url, {ENTITY_SUFFIX_SQL} as body from documents),
+m as (select url, body, unnest(regexp_extract_all(body, '{_TRIPLE_RE_SQL}')) as s from d)
+select url,
+       regexp_extract(s, '{_TRIPLE_RE_SQL}', 1) as subj_surface,
+       regexp_extract(s, '{_TRIPLE_RE_SQL}', 2) as pred,
+       regexp_extract(s, '{_TRIPLE_RE_SQL}', 3) as obj_surface,
+       (strpos(body, s) - 1)::bigint as span_start,
+       (strpos(body, s) - 1 + length(s))::bigint as span_end
+from m
+"""
+# span here IS exact: each full relation sentence is unique within a doc
+# (distinct subjects/predicates), so first-occurrence == the occurrence.
+
+
+def q_surface_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.functions.text import normalize_surface
+    from legal_knowledge_graph_spark.operators.triples import detect_mentions
+
+    return (
+        detect_mentions(_entity_docs(spark, sf_dir))
+        .select(normalize_surface(F.col("surface")).alias("surface_norm"))
+        .distinct()
+    )
+
+
+SQL_SURFACE_NORM = f"""
+with d as (select doc_id::varchar as url, {ENTITY_SUFFIX_SQL} as body from documents),
+m as (select unnest(regexp_extract_all(body, '{_SURF_RE_SQL}')) as surface from d),
+n as (select trim(regexp_replace(regexp_replace(
+        regexp_replace(lower(surface),
+          '\\b(corporation|corp\\.?|incorporated|inc\\.?|llc|ltd\\.?)\\b', 'corp', 'g'),
+        '[^0-9a-zÀ-ɏ一-鿿 ]+', ' ', 'g'),
+        '\\s+', ' ', 'g')) as surface_norm from m)
+select distinct surface_norm from n
+"""
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full linking stage (LSH -> score -> CC -> canonical). On the
+    planted surfaces every normalized form has a distinct numeric
+    token, so the numeric gate guarantees canonical_id == surface_norm
+    — the oracle is exactly computable while the full distributed path
+    (banding, pair scoring, connected components) still executes."""
+    from legal_knowledge_graph_spark.operators.linking import link_entities
+    from legal_knowledge_graph_spark.operators.triples import detect_mentions
+
+    mentions = detect_mentions(_entity_docs(spark, sf_dir))
+    return link_entities(mentions).select("surface_norm", "canonical_id")
+
+
+SQL_ENTITY_LINK = (
+    SQL_SURFACE_NORM.replace(
+        "select distinct surface_norm from n",
+        "select distinct surface_norm, surface_norm as canonical_id from n",
+    )
+)
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.cc import connected_components
+
+    edges = (
+        _lineitem(spark, sf_dir)
+        .where("l_linenumber = 1")
+        .select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges).select("node", "component")
+
+
+SQL_CC = """
+with recursive e as (
+  select distinct l_orderkey % 500 as src, l_partkey % 500 as dst
+  from lineitem where l_linenumber = 1
+),
+und as (select src as a, dst as b from e union select dst, src from e),
+reach(n, r) as (
+  select a, a from und
+  union
+  select reach.n, und.b from reach join und on reach.r = und.a
+)
+select n as node, min(r) as component from reach group by n
+"""
+
+
+def q_tree_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 internal-node aggregation shape (min/max span + ordered
+    content concat) over order->lineitem as parent->children."""
+    li = _lineitem(spark, sf_dir)
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("span_start"),
+        F.max("l_shipdate").alias("span_end"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_returnflag"))),
+                lambda x: x["l_returnflag"],
+            ),
+            "",
+        ).alias("content"),
+        F.count(F.lit(1)).alias("n_children"),
+    )
+
+
+SQL_TREE_AGG = """
+select l_orderkey,
+       min(l_shipdate) as span_start,
+       max(l_shipdate) as span_end,
+       string_agg(l_returnflag, '' order by l_linenumber, l_returnflag) as content,
+       count(*)::bigint as n_children
+from lineitem group by l_orderkey
+"""
+
+
+def q_next_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 sibling chaining: NEXT edges via window lag."""
+    from pyspark.sql import Window
+
+    li = _lineitem(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("prev_line", F.lag("l_linenumber").over(w))
+        .where(F.col("prev_line").isNotNull())
+        .select(
+            "l_orderkey",
+            F.col("prev_line").alias("src_line"),
+            F.col("l_linenumber").alias("dst_line"),
+        )
+    )
+
+
+SQL_NEXT_PREV = """
+with w as (
+  select l_orderkey, l_linenumber,
+         lag(l_linenumber) over (partition by l_orderkey order by l_linenumber) as prev_line
+  from lineitem
+)
+select l_orderkey, prev_line as src_line, l_linenumber as dst_line
+from w where prev_line is not null
+"""
+
+
+def q_summary_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 summary-else-content rule on a derived summary column."""
+    from legal_knowledge_graph_spark.functions.text import summary_else_content
+
+    d = _docs(spark, sf_dir).withColumn(
+        "summary",
+        F.expr("case when doc_id % 3 = 0 then '  ' else substr(text, 1, 40) end"),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(summary_else_content(F.col("summary"), F.col("text"))).alias("vec_text_md5"),
+    )
+
+
+SQL_SUMMARY_RULE = """
+with d as (
+  select doc_id, text,
+         case when doc_id % 3 = 0 then '  ' else substr(text, 1, 40) end as summary
+  from documents
+)
+select doc_id,
+       md5(case when length(trim(summary)) > 0 then summary else text end) as vec_text_md5
+from d
+"""
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.similarity import brute_force_top_k
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    q = [float(x) for x in embs.where("vid = 7").first()["embedding"]]
+    return brute_force_top_k(embs, "vid", "embedding", q, k=10).select("id", "rank")
+
+
+SQL_TOPK_COSINE = """
+with q as (select embedding::double[] as qv from embeddings where vec_id::bigint = 7)
+select vec_id::bigint as id,
+       row_number() over (
+         order by list_cosine_similarity(embedding::double[], (select qv from q)) desc,
+                  vec_id::bigint
+       )::int as rank
+from embeddings
+order by rank limit 10
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a derived corpus with 50 planted duplicates."""
+    from legal_knowledge_graph_spark.operators.dedup import exact_duplicates
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.where("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dups), "doc_id", "text").select(
+        "group_key", "n_dups", "doc_ids"
+    )
+
+
+SQL_DEDUP_EXACT = """
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, text from documents where doc_id < 50
+)
+select md5(lower(trim(text))) as group_key,
+       count(*)::bigint as n_dups,
+       list_sort(list(doc_id)) as doc_ids
+from corpus group by md5(lower(trim(text))) having count(*) >= 2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text", threshold=0.7
+    ).select("doc_a", "doc_b", "inter_size", "union_size")
+
+
+def _sql_minhash(n_perm: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    from legal_knowledge_graph_spark.operators.dedup import MINHASH_P, _perm_coeffs
+
+    rpb = n_perm // bands
+    coeffs = _perm_coeffs(n_perm)
+    sig_cols = ",\n       ".join(
+        f"min((g * {a} + {b}) % {MINHASH_P}) as h{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, "
+        + f"'{b}|' || "
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " as band_key from sigs"
+        for b in range(bands)
+    )
+    return f"""
+with d as (select doc_id, lower(trim(text)) as t from documents),
+sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 2, 1)),
+           i -> substr(t, i, 3)))) as gram
+  from d
+),
+hashed as (
+  select doc_id, gram,
+         ('0x' || substr(md5(gram), 1, 15))::bigint % {MINHASH_P} as g
+  from sh
+),
+sigs as (select doc_id, {sig_cols} from hashed group by doc_id),
+banded as ({band_rows}),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b using (band_key)
+  where a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*)::bigint as sz from sh group by doc_id),
+pairs as (
+  select c.doc_a, c.doc_b
+  from cand c
+  join sizes sa on sa.doc_id = c.doc_a
+  join sizes sb on sb.doc_id = c.doc_b
+  where least(sa.sz, sb.sz) >= {threshold} * greatest(sa.sz, sb.sz)
+),
+inter as (
+  select p.doc_a, p.doc_b, count(*)::bigint as inter_size
+  from pairs p
+  join sh a on a.doc_id = p.doc_a
+  join sh b on b.doc_id = p.doc_b and b.gram = a.gram
+  group by p.doc_a, p.doc_b
+)
+select i.doc_a, i.doc_b, i.inter_size,
+       (sa.sz + sb.sz - i.inter_size)::bigint as union_size
+from inter i
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
+where i.inter_size >= {threshold} * (sa.sz + sb.sz - i.inter_size)
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text").select("doc_id", "simhash")
+
+
+SQL_SIMHASH = """
+with toks as (
+  select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+  from documents where length(trim(text)) > 0
+),
+bits as (
+  select doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint as h
+  from toks where length(tok) > 0
+),
+sums as (
+  select doc_id, i, sum(case when (h >> i) & 1 = 1 then 1 else -1 end) as s
+  from bits, generate_series(0, 31) as t(i)
+  group by doc_id, i
+)
+select doc_id, sum(case when s > 0 then 1::bigint << i else 0 end)::bigint as simhash
+from sums group by doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", "source", min_jaccard=0.5
+    ).select("doc_a", "doc_b", "inter_size", "union_size")
+
+
+SQL_NGRAM_JACCARD = """
+with d as (select doc_id, source, lower(trim(text)) as t from documents),
+sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 2, 1)),
+           i -> substr(t, i, 3)))) as gram
+  from d
+),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from d a join d b on a.source = b.source and a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*)::bigint as sz from sh group by doc_id),
+inter as (
+  select p.doc_a, p.doc_b, count(*)::bigint as inter_size
+  from pairs p
+  join sh a on a.doc_id = p.doc_a
+  join sh b on b.doc_id = p.doc_b and b.gram = a.gram
+  group by p.doc_a, p.doc_b
+)
+select i.doc_a, i.doc_b, i.inter_size,
+       (sa.sz + sb.sz - i.inter_size)::bigint as union_size
+from inter i
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
+where i.inter_size >= 0.5 * (sa.sz + sb.sz - i.inter_size)
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.dedup import embedding_near_duplicates
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    return embedding_near_duplicates(embs, "vid", "embedding", threshold=0.35).select(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+select a.vec_id::bigint as doc_a, b.vec_id::bigint as doc_b
+from embeddings a join embeddings b on a.vec_id::bigint < b.vec_id::bigint
+where list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.35
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TOKEN_STATS = """
+with d as (
+  select doc_id, text,
+         case when length(trim(coalesce(text,''))) = 0 then []::varchar[]
+              else regexp_split_to_array(lower(trim(text)), '\\s+') end as toks
+  from documents
+)
+select doc_id,
+       len(toks)::bigint as n_tokens,
+       length(coalesce(text,''))::bigint as n_chars,
+       case when len(toks) > 0
+            then floor(list_sum(list_transform(toks, t -> length(t))) * 100 / len(toks))::bigint
+            else 0 end as avg_token_len_x100
+from d
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_LANGUAGE_ID = """
+with d as (
+  select doc_id,
+         case when length(trim(coalesce(text,''))) = 0 then []::varchar[]
+              else regexp_split_to_array(lower(trim(text)), '\\s+') end as toks
+  from documents
+),
+h as (
+  select doc_id,
+         len(list_filter(toks, t -> t in ('der','die','das','und','nicht','mit'))) as h_de,
+         len(list_filter(toks, t -> t in ('the','and','of','to','is','with'))) as h_en,
+         len(list_filter(toks, t -> t in ('el','la','los','las','una','para'))) as h_es,
+         len(list_filter(toks, t -> t in ('le','les','des','est','dans','pour'))) as h_fr
+  from d
+)
+select doc_id,
+       case when greatest(h_de,h_en,h_es,h_fr) = 0 then 'und'
+            when h_de = greatest(h_de,h_en,h_es,h_fr) then 'de'
+            when h_en = greatest(h_de,h_en,h_es,h_fr) then 'en'
+            when h_es = greatest(h_de,h_en,h_es,h_fr) then 'es'
+            else 'fr' end as lang_pred,
+       greatest(h_de,h_en,h_es,h_fr)::bigint as lang_hits
+from h
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_FINGERPRINT = """
+select doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),
+           '[^0-9a-z\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) as fp
+from documents
+"""
+
+
+def q_salted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation == plain group-count (exactness of
+    the skew pattern), over the derived triple table."""
+    from legal_knowledge_graph_spark.operators.materialize import entity_degrees_salted
+    from legal_knowledge_graph_spark.operators.triples import extract_triples
+
+    t = extract_triples(_entity_docs(spark, sf_dir)).select(
+        F.col("subj_surface").alias("subj"), "url", "span_start"
+    )
+    return entity_degrees_salted(t).select("subj", "degree")
+
+
+SQL_SALTED_DEGREE = f"""
+with d as (select doc_id::varchar as url, {ENTITY_SUFFIX_SQL} as body from documents),
+m as (select url, unnest(regexp_extract_all(body, '{_TRIPLE_RE_SQL}')) as s from d)
+select regexp_extract(s, '{_TRIPLE_RE_SQL}', 1) as subj, count(*)::bigint as degree
+from m group by 1
+"""
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.multimodal import sniff_media_meta
+
+    d = _docs(spark, sf_dir).withColumn("blob", F.encode("text", "utf-8"))
+    return sniff_media_meta(d, "blob").select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    )
+
+
+SQL_MEDIA_META = """
+select doc_id,
+       octet_length(encode(text))::bigint as n_bytes,
+       case when lower(text) like '<html%' then 'html' else 'unknown' end as format,
+       md5(text) as content_md5
+from documents
+"""
+
+
+def q_span_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-overlap P/R harness over intervals derived from lineitem."""
+    from legal_knowledge_graph_spark.operators.query import span_overlap_pr
+
+    li = _lineitem(spark, sf_dir)
+    retrieved = li.where("l_linenumber = 1").select(
+        (F.col("l_orderkey") % 100).alias("query_id"),
+        F.lit("u").alias("url"),
+        (F.col("l_partkey") % 1000).alias("span_start"),
+        (F.col("l_partkey") % 1000 + 50).alias("span_end"),
+    )
+    golden = li.where("l_linenumber = 2").select(
+        (F.col("l_orderkey") % 100).alias("query_id"),
+        F.lit("u").alias("url"),
+        (F.col("l_partkey") % 1000).alias("span_start"),
+        (F.col("l_partkey") % 1000 + 50).alias("span_end"),
+    )
+    pr = span_overlap_pr(retrieved, golden)
+    return pr.select(
+        "query_id",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+SQL_SPAN_PR = """
+with r as (
+  select l_orderkey % 100 as query_id, 'u' as url,
+         l_partkey % 1000 as rs, l_partkey % 1000 + 50 as re
+  from lineitem where l_linenumber = 1
+),
+g as (
+  select l_orderkey % 100 as query_id, 'u' as url,
+         l_partkey % 1000 as gs, l_partkey % 1000 + 50 as ge
+  from lineitem where l_linenumber = 2
+),
+ov as (
+  select r.query_id, sum(greatest(0, least(re, ge) - greatest(rs, gs))) as overlap
+  from r join g on r.query_id = g.query_id and r.url = g.url
+  group by r.query_id
+),
+rl as (select query_id, sum(re - rs) as rlen from r group by query_id),
+gl as (select query_id, sum(ge - gs) as glen from g group by query_id)
+select coalesce(rl.query_id, gl.query_id) as query_id,
+       round(coalesce(overlap, 0) / greatest(rlen, 1), 6) as precision,
+       round(coalesce(overlap, 0) / greatest(glen, 1), 6) as recall
+from rl full outer join gl on rl.query_id = gl.query_id
+left join ov on ov.query_id = coalesce(rl.query_id, gl.query_id)
+"""
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (hyperplane LSH) — no SQL oracle (hash-bucketed
+    recall is engine-specific); rows-only check."""
+    from legal_knowledge_graph_spark.operators.similarity import lsh_top_k
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    first = embs.where("vid = 7").first()
+    q = [float(x) for x in first["embedding"]]
+    return lsh_top_k(embs, "vid", "embedding", q, dim=len(q), k=10).select("id", "rank")
+
+
+def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing with the deterministic fake decoder —
+    floats + Python stage; rows-only check."""
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        decode_features,
+        deterministic_fake_features,
+    )
+
+    d = _docs(spark, sf_dir).withColumn("blob", F.encode("text", "utf-8"))
+    return decode_features(
+        d, "doc_id", "blob", dim=16, decode_fn=deterministic_fake_features
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_knowledge_graph_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc_id", "n_tokens", "stopword_hits", "punct_chars"
+    )
+
+
+SQL_QUALITY = """
+with d as (
+  select doc_id, text,
+         case when length(trim(coalesce(text,''))) = 0 then []::varchar[]
+              else regexp_split_to_array(lower(trim(text)), '\\s+') end as toks
+  from documents
+)
+select doc_id,
+       len(toks)::bigint as n_tokens,
+       len(list_filter(toks, t -> t in
+         ('the','a','an','and','or','of','to','in','is','it','that','for')))::bigint
+         as stopword_hits,
+       length(regexp_replace(coalesce(text,''), '[^!-/:-@\\[-`{-~]', '', 'g'))::bigint
+         as punct_chars
+from d
+"""
+
+
+QUERIES: dict[str, callable] = {
+    "split_intro_body": q_split_intro_body,
+    "mention_counts": q_mention_counts,
+    "triple_extract": q_triple_extract,
+    "surface_normalize": q_surface_normalize,
+    "entity_link": q_entity_link,
+    "cc_components": q_cc_components,
+    "tree_agg": q_tree_agg,
+    "next_prev": q_next_prev,
+    "summary_rule": q_summary_rule,
+    "topk_cosine": q_topk_cosine,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "token_stats": q_token_stats,
+    "language_id": q_language_id,
+    "fingerprint": q_fingerprint,
+    "salted_degree": q_salted_degree,
+    "media_meta": q_media_meta,
+    "span_pr": q_span_pr,
+    "quality_score": q_quality_score,
+    "lsh_ann": q_lsh_ann,
+    "decode_features": q_decode_features,
+}
+
+ORACLES: dict[str, str] = {
+    "split_intro_body": SQL_SPLIT,
+    "mention_counts": SQL_MENTION_COUNTS,
+    "triple_extract": SQL_TRIPLES,
+    "surface_normalize": SQL_SURFACE_NORM,
+    "entity_link": SQL_ENTITY_LINK,
+    "cc_components": SQL_CC,
+    "tree_agg": SQL_TREE_AGG,
+    "next_prev": SQL_NEXT_PREV,
+    "summary_rule": SQL_SUMMARY_RULE,
+    "topk_cosine": SQL_TOPK_COSINE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    "token_stats": SQL_TOKEN_STATS,
+    "language_id": SQL_LANGUAGE_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "salted_degree": SQL_SALTED_DEGREE,
+    "media_meta": SQL_MEDIA_META,
+    "span_pr": SQL_SPAN_PR,
+    "quality_score": SQL_QUALITY,
+    # lsh_ann, decode_features: intentionally no oracle (approximate /
+    # Python-stage float outputs) -> driver records rows-only checks.
+}

@@ -32,25 +32,70 @@ _TOKEN_RE = re.compile(r"\S+")
 
 
 def best_window_by_words(content: str, target_sentence: str) -> tuple[int, int, float]:
-    """First-wins argmax of SequenceMatcher.ratio over token windows."""
+    """First-wins argmax of SequenceMatcher.ratio over token windows.
+
+    Semantics are EXACTLY the reference's naive scan (chunker.py:93-115);
+    three sound prunings make it fast without changing any output
+    (guarded by the difflib-oracle test in tests/test_align.py):
+
+    1. **Verbatim fast path** — ratio()==1.0 iff the strings are equal,
+       and a strict ``>`` can never improve on 1.0, so the FIRST
+       token-aligned verbatim occurrence of the target is the final
+       answer. Boundary sentences are verbatim in the happy path, so
+       this usually answers in one ``str.find`` scan.
+    2. **Length bound** — ratio() <= 2*min(la,lb)/(la+lb); windows whose
+       bound can't strictly beat the best are skipped without building
+       the window string.
+    3. **difflib's own ladder** — real_quick_ratio/quick_ratio are
+       upper bounds of ratio; only windows that pass both pay the
+       quadratic ratio() cost.
+    """
     token_spans = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(content)]
     target_words = _TOKEN_RE.findall(target_sentence)
     window = len(target_words)
     if window <= 0 or not token_spans:
         return 0, 0, 0.0
 
+    content_lower = content.lower()
+    target_lower = target_sentence.lower()
+    la = len(target_lower)
+
+    n_windows = len(token_spans) - window + 1
+    if n_windows > 0 and la > 0:
+        # fast path: earliest window whose text equals the target is
+        # the first ratio-1.0 window (equality <=> ratio 1.0) and wins.
+        start_index = {s: i for i, (s, _) in enumerate(token_spans)}
+        pos = content_lower.find(target_lower)
+        while pos != -1:
+            i = start_index.get(pos)
+            if (
+                i is not None
+                and i < n_windows
+                and token_spans[i + window - 1][1] == pos + la
+            ):
+                return pos, pos + la, 1.0
+            pos = content_lower.find(target_lower, pos + 1)
+
     # If the target has more tokens than the content, no full window
     # exists: the scan range is empty and the initialized (0, 0, -1.0)
     # is returned — matching the reference's loop bounds exactly.
     best_score = -1.0
     best_start, best_end = 0, 0
-    content_lower = content.lower()
-    target_lower = target_sentence.lower()
     matcher = difflib.SequenceMatcher(None, target_lower, "")
-    for i in range(len(token_spans) - window + 1):
+    for i in range(n_windows):
         w_start = token_spans[i][0]
         w_end = token_spans[i + window - 1][1]
+        lb = w_end - w_start
+        # length upper bound: cannot strictly beat best -> same result
+        # as evaluating (strict > keeps first-wins ties intact)
+        if la + lb > 0 and 2.0 * min(la, lb) / (la + lb) <= best_score:
+            continue
         matcher.set_seq2(content_lower[w_start:w_end])
+        if (
+            matcher.real_quick_ratio() <= best_score
+            or matcher.quick_ratio() <= best_score
+        ):
+            continue
         score = matcher.ratio()
         if score > best_score:
             best_score = score

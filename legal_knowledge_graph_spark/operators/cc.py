@@ -82,19 +82,24 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     loops) map to themselves; vertices absent from ``edges`` are the
     caller's to union in.
     """
-    spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
-    if e.isEmpty():
+    # Lazy localCheckpoint: the checksum action both materializes the
+    # checkpoint (cutting lineage across iterations) and tests
+    # convergence — ONE driver round trip per iteration instead of
+    # three (eager checkpoint + isEmpty + checksum). At web scale the
+    # per-iteration shuffles dominate; in small/interactive runs the
+    # driver latency did.
+    e = _canonical_edges(edges).localCheckpoint(eager=False)
+    prev = _checksum(e)
+    if prev[0] == 0:
         return nodes.select("node", F.col("node").alias("component"))
 
-    prev = _checksum(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e2)
         e = e2
         if cur == prev:

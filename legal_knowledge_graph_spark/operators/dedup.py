@@ -33,7 +33,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_MINHASH_PERMS = 16
-DEFAULT_BANDS = 8  # rows_per_band = perms // bands
+DEFAULT_BANDS = 4  # rows_per_band = perms // bands; 4x4 => band
+# collision prob = sim^4: at jaccard 0.9 a dup pair is missed with prob
+# (1-0.9^4)^4 ~ 1.4%, while the same-vocab candidate flood of 2-row
+# bands (collision ~ sim^2) is suppressed ~30x
 DEFAULT_JACCARD_THRESHOLD = 0.8
 DEFAULT_COSINE_THRESHOLD = 0.8
 DEFAULT_MAX_BLOCK = 1000
@@ -84,17 +87,39 @@ def _norm_sql(text_col: str) -> str:
     return f"lower(trim({text_col}))"
 
 
+#: Mersenne prime 2^31-1: permutation arithmetic stays < 2^62, so the
+#: same int64 expressions evaluate identically in any engine.
+MINHASH_P = 2147483647
+
+
+def _perm_coeffs(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation coefficients, a != 0."""
+    out = []
+    for j in range(n_perm):
+        a = (2654435761 * (j + 1) + 40503) % MINHASH_P or 1
+        b = (2246822519 * (j + 1) + 3266489917) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     sh: DataFrame, n_perm: int = DEFAULT_MINHASH_PERMS
 ) -> DataFrame:
     """(doc_id, gram) -> (doc_id, h0..h{n-1}) where
-    h_j = min(md5(j || ':' || gram)) — a string-min MinHash. md5 is
-    engine-portable, so oracles reproduce signatures exactly."""
+    h_j = min((a_j * g + b_j) mod P) over grams, with
+    g = first-15-hex-chars of md5(gram) as int, mod P.
+
+    One md5 per gram (not one per gram-permutation); the permutations
+    are integer arithmetic, which is both ~n_perm x cheaper and
+    bit-identical across engines (the DuckDB oracle reproduces the
+    exact signatures)."""
+    g = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long") % MINHASH_P
+    hashed = sh.select("doc_id", g.alias("g"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"h{j}")
-        for j in range(n_perm)
+        F.min((F.col("g") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(_perm_coeffs(n_perm))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -125,6 +150,103 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def jaccard_verify_bitset(
+    sh: DataFrame, pairs: DataFrame, max_vocab: int = 1 << 16, max_docs: int = 1_000_000
+) -> DataFrame | None:
+    """Exact Jaccard verify via broadcast **bitset popcounts** — same
+    values as :func:`jaccard_verify`, different physical plan.
+
+    When the distinct-gram vocabulary is small (char-3-grams over a
+    bounded alphabet: a few hundred to tens of thousands), every doc's
+    shingle set packs into a V-bit mask (V/8 bytes). The full mask
+    table broadcasts (1M docs x 8 KB at V=65536 is the ceiling), and
+    each Arrow batch of candidate pairs computes intersection sizes as
+    vectorized popcount(A & B) — no shuffle touches the gram table at
+    all. Returns None when the vocab/doc bounds are exceeded (caller
+    falls back to the shuffle-join verify).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    vocab_rows = sh.select("gram").distinct().limit(max_vocab + 1).collect()
+    if len(vocab_rows) > max_vocab:
+        return None
+    gram_idx = {g: i for i, g in enumerate(sorted(r["gram"] for r in vocab_rows))}
+    nbytes = (len(gram_idx) + 7) // 8
+
+    spark = sh.sparkSession
+    b_idx = spark.sparkContext.broadcast(gram_idx)
+
+    mask_schema = T.StructType(
+        [
+            sh.schema["doc_id"],
+            T.StructField("mask", T.BinaryType(), False),
+        ]
+    )
+
+    def build_masks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = b_idx.value
+        for pdf in batches:
+            out: dict = {}
+            for d, g in zip(pdf["doc_id"], pdf["gram"]):
+                m = out.get(d)
+                if m is None:
+                    m = out[d] = np.zeros(nbytes, dtype=np.uint8)
+                i = idx[g]
+                m[i >> 3] |= 1 << (i & 7)
+            yield pd.DataFrame(
+                {"doc_id": list(out), "mask": [m.tobytes() for m in out.values()]}
+            )
+
+    # per-partition partial masks OR-ed on the driver (tiny: docs x V/8)
+    partial = sh.mapInPandas(build_masks, mask_schema).collect()
+    if len(partial) > max_docs:
+        return None
+    masks: dict = {}
+    for r in partial:
+        m = np.frombuffer(r["mask"], dtype=np.uint8)
+        if r["doc_id"] in masks:
+            masks[r["doc_id"]] = masks[r["doc_id"]] | m
+        else:
+            masks[r["doc_id"]] = m
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    b_masks = spark.sparkContext.broadcast(masks)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", sh.schema["doc_id"].dataType, False),
+            T.StructField("doc_b", sh.schema["doc_id"].dataType, False),
+            T.StructField("inter_size", T.LongType(), False),
+            T.StructField("union_size", T.LongType(), False),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mk = b_masks.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["doc_a", "doc_b", "inter_size", "union_size"])
+                continue
+            A = np.stack([mk[d] for d in pdf["doc_a"]])
+            B = np.stack([mk[d] for d in pdf["doc_b"]])
+            inter = pop[A & B].sum(axis=1).astype("int64")
+            union = pop[A | B].sum(axis=1).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "inter_size": inter,
+                    "union_size": union,
+                }
+            )
+
+    return pairs.mapInPandas(verify, out_schema)
 
 
 def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -167,10 +289,36 @@ def minhash_near_duplicates(
     bucket-join -> exact-Jaccard verify. Returns
     (doc_a, doc_b, inter_size, union_size) for pairs with
     jaccard >= threshold that share >= 1 LSH band."""
-    sh = shingles(df, id_col, text_col, k)
+    # The shingle explosion feeds three consumers (signatures, sizes,
+    # intersection); localCheckpoint materializes it once instead of
+    # re-exploding ~len(text) rows per doc three times. On a cluster
+    # this is a cached/checkpointed intermediate table.
+    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, n_perm)
     pairs = lsh_candidate_pairs(sigs, n_perm, bands)
-    verified = jaccard_verify(sh, pairs)
+
+    # Exact size-ratio prefilter (lossless): J(A,B) <= min|.|/max|.|,
+    # so a pair whose shingle-set sizes differ by more than the
+    # threshold ratio can never verify. Cuts the candidate flood
+    # before the expensive gram-intersection join; the sizes table is
+    # tiny (one int per doc) and broadcasts.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sz_a = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
+    sz_b = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
+    pairs = (
+        pairs.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .where(
+            F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    # auto-pick the verify plan: bitset popcount while the gram vocab
+    # is bounded (char-k-grams usually are), shuffle-join verify beyond.
+    verified = jaccard_verify_bitset(sh, pairs)
+    if verified is None:
+        verified = jaccard_verify(sh, pairs)
     return verified.where(
         F.col("inter_size") >= F.lit(threshold) * F.col("union_size")
     )
@@ -213,12 +361,14 @@ def ngram_jaccard_pairs(
     """Exact pairwise n-gram Jaccard within a blocking key (e.g.
     source/host/length-band). Returns (doc_a, doc_b, inter_size,
     union_size) for jaccard >= min_jaccard."""
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
     a = blocks.select(F.col("doc_id").alias("doc_a"), "blk")
     b = blocks.select(F.col("doc_id").alias("doc_b"), "blk")
     pairs = a.join(b, "blk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    verified = jaccard_verify(sh, pairs)
+    verified = jaccard_verify_bitset(sh, pairs)
+    if verified is None:
+        verified = jaccard_verify(sh, pairs)
     return verified.where(F.col("inter_size") >= F.lit(min_jaccard) * F.col("union_size"))
 
 
@@ -227,27 +377,68 @@ def embedding_near_duplicates(
     id_col: str,
     vec_col: str,
     threshold: float = DEFAULT_COSINE_THRESHOLD,
-    block_col: str | None = None,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (doc_a, doc_b) with
-    cosine >= threshold, optionally blocked. The approximate
-    (hyperplane-LSH) scale path lives in operators/similarity.py;
-    this exact tier is the oracle-checkable baseline."""
-    from legal_knowledge_graph_spark.operators.query import cosine
+    cosine >= threshold.
 
-    cols = [F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")]
-    if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
-    a = base.select(*[F.col(c).alias(c + "_a") for c in base.columns])
-    b = base.select(*[F.col(c).alias(c + "_b") for c in base.columns])
-    cond = F.col("doc_id_a") < F.col("doc_id_b")
-    if block_col:
-        joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & cond)
-    else:
-        joined = a.join(b, cond)
-    return (
-        joined.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
-        .where(F.col("cos") >= threshold)
-        .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+    Executed as a **broadcast matrix product**, not a pair join: the
+    full (id, unit-vector) matrix is broadcast to every task (a 10^6 x
+    64 float32 matrix is ~256 MB — broadcastable; beyond that, tile the
+    right side), and each Arrow batch of left rows computes
+    ``A_block @ B.T`` in one BLAS call, emitting only the above-
+    threshold pairs. This avoids materializing/shuffling the O(N^2)
+    pair table entirely — the crossJoin formulation moved ~12.5M
+    128-float rows through a shuffle at a mere 5k vectors and is
+    unusable at scale. The approximate (hyperplane-LSH) path for
+    N > max_broadcast_rows lives in operators/similarity.py; this
+    exact tier is the oracle-checkable baseline.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    rows = base.collect() if base.count() <= max_broadcast_rows else None
+    if rows is None:
+        raise ValueError(
+            "embedding_near_duplicates exact tier needs the vector set "
+            "to fit in a broadcast; use similarity.lsh_bucket blocking "
+            "above max_broadcast_rows"
+        )
+    ids = np.array([r["doc_id"] for r in rows], dtype="int64")
+    mat = np.array([r["v"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", T.LongType(), False),
+            T.StructField("doc_b", T.LongType(), False),
+        ]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B_ids, B = b_ids.value, b_unit.value
+        for pdf in batches:
+            a_ids = pdf["doc_id"].to_numpy(dtype="int64")
+            A = np.array(list(pdf["v"]), dtype="float64")
+            if len(A) == 0:
+                yield pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+                continue
+            an = np.linalg.norm(A, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            sims = (A / an) @ B.T
+            ai, bi = np.nonzero(sims >= threshold)
+            da, db = a_ids[ai], B_ids[bi]
+            keep = da < db
+            yield pd.DataFrame({"doc_a": da[keep], "doc_b": db[keep]})
+
+    return base.mapInPandas(run, schema)

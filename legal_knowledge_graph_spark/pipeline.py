@@ -129,6 +129,9 @@ def run_pipeline(
 
     edges = cat.stage("edges", _edges, partition_col="bucket", force=force)
 
+    # one batched lineage append for every stage committed this run
+    cat.flush_lineage()
+
     return {
         "extracted": extracted,
         "mentions": mentions,
