@@ -157,7 +157,7 @@ m as (select unnest(regexp_extract_all(body, '{_SURF_RE_SQL}')) as surface from 
 n as (select trim(regexp_replace(regexp_replace(
         regexp_replace(lower(surface),
           '\\b(corporation|corp\\.?|incorporated|inc\\.?|llc|ltd\\.?)\\b', 'corp', 'g'),
-        '[^0-9a-zÀ-ɏ一-鿿 ]+', ' ', 'g'),
+        '[!-/:-@\\[-`{{-~]+', ' ', 'g'),
         '\\s+', ' ', 'g')) as surface_norm from m)
 select distinct surface_norm from n
 """
@@ -699,7 +699,7 @@ select doc_id,
        len(list_filter(toks, t -> t in
          ('the','a','an','and','or','of','to','in','is','it','that','for')))::bigint
          as stopword_hits,
-       length(regexp_replace(coalesce(text,''), '[^!-/:-@\\[-`{-~]', '', 'g'))::bigint
+       (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[!-/:-@\\[-`{-~]+', '', 'g')))::bigint
          as punct_chars
 from d
 """
@@ -758,3 +758,173 @@ ORACLES: dict[str, str] = {
     # lsh_ann, decode_features: intentionally no oracle (approximate /
     # Python-stage float outputs) -> driver records rows-only checks.
 }
+
+
+# ------------------------------------------------------- round-1 additions
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the reference's per-file seeded pseudo-random benchmark
+    sampling (data_loader.py:71-79, MAX=194) re-expressed as
+    deterministic hash-ordered sampling: ORDER BY md5(key) LIMIT 194 —
+    the distributed-safe equivalent of 'seeded random by file_path'."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("sample_key", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("sample_key")
+        .limit(194)
+        .select("doc_id", "sample_key")
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+select doc_id, md5(doc_id::varchar) as sample_key
+from documents
+order by sample_key
+limit 194
+"""
+
+
+def q_referenced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — 'read only the corpus files referenced by sampled tests':
+    a semi-join of the corpus against the referencing fixture keys,
+    sorted (data_loader.py:92-104). Fixture keys derived from
+    lineitem."""
+    d = _docs(spark, sf_dir)
+    refs = (
+        _lineitem(spark, sf_dir)
+        .where("l_linenumber = 1")
+        .select((F.col("l_orderkey") % 700).alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(refs, "doc_id", "left_semi")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_REFERENCED_SCAN = """
+select doc_id, n_chars::bigint as n_chars
+from documents
+where doc_id in (
+  select distinct l_orderkey % 700 from lineitem where l_linenumber = 1
+)
+order by doc_id
+"""
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (the
+    batch shape of the Structured-Streaming windowed agg): 1-hour
+    windows x event_type, count + integer-scaled value sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") * 100).cast("long")).alias("value_sum_x100"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum_x100",
+        )
+    )
+
+
+SQL_EVENT_WINDOWS = """
+select epoch(date_trunc('hour', ts))::bigint as window_start,
+       event_type,
+       count(*)::bigint as n_events,
+       sum(floor(value * 100)::bigint)::bigint as value_sum_x100
+from events
+group by 1, 2
+"""
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — model-output JSON parsing (utils/parser.py:9-26): strip the
+    reasoning trace after the LAST </think>, extract the ```json fence.
+    Run over a derived model-output column; emits the extracted payload
+    (parse-to-struct is F.from_json, shape-specific)."""
+    from legal_knowledge_graph_spark.functions.parse import extract_json_payload
+
+    d = _docs(spark, sf_dir).withColumn(
+        "model_out",
+        F.expr(
+            "case when doc_id % 3 = 0 then "
+            "'<think>x</think>ignored</think>```json {\"k\": ' || doc_id || '}```' "
+            "when doc_id % 3 = 1 then "
+            "'```json {\"k\": ' || doc_id || '}``` trailing' "
+            "else '{\"k\": ' || doc_id || '}' end"
+        ),
+    )
+    return d.select("doc_id", extract_json_payload(F.col("model_out")).alias("payload"))
+
+
+SQL_JSON_PARSE = """
+with d as (
+  select doc_id,
+         case when doc_id % 3 = 0 then
+           '<think>x</think>ignored</think>```json {"k": ' || doc_id || '}```'
+         when doc_id % 3 = 1 then
+           '```json {"k": ' || doc_id || '}``` trailing'
+         else '{"k": ' || doc_id || '}' end as model_out
+  from documents
+),
+s as (
+  select doc_id, list_extract(string_split(model_out, '</think>'), -1) as after_think
+  from d
+),
+e as (
+  select doc_id, after_think,
+         regexp_extract(after_think, '```json\\s*([\\s\\S]*?)\\s*```', 1) as fenced
+  from s
+)
+select doc_id,
+       case when length(fenced) > 0 then fenced else trim(after_think) end as payload
+from e
+"""
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization count (word runs + single
+    punctuation marks), the cheap token-count proxy for training-data
+    budgeting."""
+    d = _marked_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0))")
+        .cast("long")
+        .alias("n_bpeish_tokens"),
+    )
+
+
+SQL_BPE_TOKENS = f"""
+with d as (select doc_id, {MARKER_PREFIX_SQL} as text from documents)
+select doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::bigint as n_bpeish_tokens
+from d
+"""
+
+
+QUERIES.update(
+    {
+        "deterministic_sample": q_deterministic_sample,
+        "referenced_scan": q_referenced_scan,
+        "event_windows": q_event_windows,
+        "json_parse": q_json_parse,
+        "bpe_tokens": q_bpe_tokens,
+    }
+)
+
+ORACLES.update(
+    {
+        "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+        "referenced_scan": SQL_REFERENCED_SCAN,
+        "event_windows": SQL_EVENT_WINDOWS,
+        "json_parse": SQL_JSON_PARSE,
+        "bpe_tokens": SQL_BPE_TOKENS,
+    }
+)

@@ -31,12 +31,17 @@ import re
 _TOKEN_RE = re.compile(r"\S+")
 
 
-def best_window_by_words(content: str, target_sentence: str) -> tuple[int, int, float]:
-    """First-wins argmax of SequenceMatcher.ratio over token windows.
+class DocAligner:
+    """Per-document alignment context: tokenization, lowercase view,
+    and the token-start index are computed ONCE and reused for every
+    boundary-sentence alignment in the document (the reference
+    re-tokenizes per call, chunker.py:95-96 — pure waste when a doc has
+    10+ sections x 2 boundaries).
 
-    Semantics are EXACTLY the reference's naive scan (chunker.py:93-115);
-    three sound prunings make it fast without changing any output
-    (guarded by the difflib-oracle test in tests/test_align.py):
+    ``best_window`` semantics are EXACTLY the reference's naive scan
+    (chunker.py:93-115); three sound prunings make it fast without
+    changing any output (guarded by the difflib-oracle test in
+    tests/test_align.py):
 
     1. **Verbatim fast path** — ratio()==1.0 iff the strings are equal,
        and a strict ``>`` can never improve on 1.0, so the FIRST
@@ -50,75 +55,98 @@ def best_window_by_words(content: str, target_sentence: str) -> tuple[int, int, 
        upper bounds of ratio; only windows that pass both pay the
        quadratic ratio() cost.
     """
-    token_spans = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(content)]
-    target_words = _TOKEN_RE.findall(target_sentence)
-    window = len(target_words)
-    if window <= 0 or not token_spans:
-        return 0, 0, 0.0
 
-    content_lower = content.lower()
-    target_lower = target_sentence.lower()
-    la = len(target_lower)
+    __slots__ = ("content", "content_lower", "token_spans", "start_index")
 
-    n_windows = len(token_spans) - window + 1
-    if n_windows > 0 and la > 0:
-        # fast path: earliest window whose text equals the target is
-        # the first ratio-1.0 window (equality <=> ratio 1.0) and wins.
-        start_index = {s: i for i, (s, _) in enumerate(token_spans)}
-        pos = content_lower.find(target_lower)
-        while pos != -1:
-            i = start_index.get(pos)
+    def __init__(self, content: str):
+        self.content = content
+        self.content_lower = content.lower()
+        self.token_spans = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(content)]
+        self.start_index = {s: i for i, (s, _) in enumerate(self.token_spans)}
+
+    def best_window(self, target_sentence: str) -> tuple[int, int, float]:
+        """First-wins argmax of SequenceMatcher.ratio over token windows."""
+        token_spans = self.token_spans
+        target_words = _TOKEN_RE.findall(target_sentence)
+        window = len(target_words)
+        if window <= 0 or not token_spans:
+            return 0, 0, 0.0
+
+        content_lower = self.content_lower
+        target_lower = target_sentence.lower()
+        la = len(target_lower)
+
+        n_windows = len(token_spans) - window + 1
+        if n_windows > 0 and la > 0:
+            # fast path: earliest window whose text equals the target is
+            # the first ratio-1.0 window (equality <=> ratio 1.0), wins.
+            start_index = self.start_index
+            pos = content_lower.find(target_lower)
+            while pos != -1:
+                i = start_index.get(pos)
+                if (
+                    i is not None
+                    and i < n_windows
+                    and token_spans[i + window - 1][1] == pos + la
+                ):
+                    return pos, pos + la, 1.0
+                pos = content_lower.find(target_lower, pos + 1)
+
+        # If the target has more tokens than the content, no full window
+        # exists: the scan range is empty and the initialized (0, 0, -1.0)
+        # is returned — matching the reference's loop bounds exactly.
+        best_score = -1.0
+        best_start, best_end = 0, 0
+        matcher = difflib.SequenceMatcher(None, target_lower, "")
+        for i in range(n_windows):
+            w_start = token_spans[i][0]
+            w_end = token_spans[i + window - 1][1]
+            lb = w_end - w_start
+            # length upper bound: cannot strictly beat best -> same
+            # result as evaluating (strict > keeps first-wins ties)
+            if la + lb > 0 and 2.0 * min(la, lb) / (la + lb) <= best_score:
+                continue
+            matcher.set_seq2(content_lower[w_start:w_end])
             if (
-                i is not None
-                and i < n_windows
-                and token_spans[i + window - 1][1] == pos + la
+                matcher.real_quick_ratio() <= best_score
+                or matcher.quick_ratio() <= best_score
             ):
-                return pos, pos + la, 1.0
-            pos = content_lower.find(target_lower, pos + 1)
+                continue
+            score = matcher.ratio()
+            if score > best_score:
+                best_score = score
+                best_start, best_end = w_start, w_end
+        return best_start, best_end, best_score
 
-    # If the target has more tokens than the content, no full window
-    # exists: the scan range is empty and the initialized (0, 0, -1.0)
-    # is returned — matching the reference's loop bounds exactly.
-    best_score = -1.0
-    best_start, best_end = 0, 0
-    matcher = difflib.SequenceMatcher(None, target_lower, "")
-    for i in range(n_windows):
-        w_start = token_spans[i][0]
-        w_end = token_spans[i + window - 1][1]
-        lb = w_end - w_start
-        # length upper bound: cannot strictly beat best -> same result
-        # as evaluating (strict > keeps first-wins ties intact)
-        if la + lb > 0 and 2.0 * min(la, lb) / (la + lb) <= best_score:
-            continue
-        matcher.set_seq2(content_lower[w_start:w_end])
-        if (
-            matcher.real_quick_ratio() <= best_score
-            or matcher.quick_ratio() <= best_score
-        ):
-            continue
-        score = matcher.ratio()
-        if score > best_score:
-            best_score = score
-            best_start, best_end = w_start, w_end
-    return best_start, best_end, best_score
+    def sentence_range(self, start_sentence: str, end_sentence: str) -> tuple[int, int]:
+        """(start of best start-window, end of best end-window),
+        swapped if inverted and clamped to [0, len(content)] —
+        reference chunker.py:118-121 + 154-158."""
+        s_start, _, _ = self.best_window(start_sentence)
+        _, e_end, _ = self.best_window(end_sentence)
+        s, e = s_start, e_end
+        if e < s:
+            s, e = e, s
+        n = len(self.content)
+        s = max(0, min(s, n))
+        e = max(0, min(e, n))
+        return s, e
+
+
+def best_window_by_words(content: str, target_sentence: str) -> tuple[int, int, float]:
+    """One-shot form (builds a DocAligner); prefer DocAligner when
+    aligning many sentences against the same content."""
+    return DocAligner(content).best_window(target_sentence)
 
 
 def find_sentence_range(content: str, start_sentence: str, end_sentence: str) -> tuple[int, int]:
-    """(start of best start-window, end of best end-window), swapped if
-    inverted and clamped to [0, len(content)]."""
-    s_start, _, _ = best_window_by_words(content, start_sentence)
-    _, e_end, _ = best_window_by_words(content, end_sentence)
-    s, e = s_start, e_end
-    if e < s:
-        s, e = e, s
-    n = len(content)
-    s = max(0, min(s, n))
-    e = max(0, min(e, n))
-    return s, e
+    """One-shot form of DocAligner.sentence_range."""
+    return DocAligner(content).sentence_range(start_sentence, end_sentence)
 
 
 def align_many(content: str, sentences: list[tuple[str, str]]) -> list[tuple[int, int]]:
     """Align many (start_sentence, end_sentence) pairs against one
     content string — amortizes tokenization across a document's
     sections (the batched shape used inside the chunker stage)."""
-    return [find_sentence_range(content, s, e) for s, e in sentences]
+    aligner = DocAligner(content)
+    return [aligner.sentence_range(s, e) for s, e in sentences]

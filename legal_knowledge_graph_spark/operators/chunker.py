@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from legal_knowledge_graph_spark.operators.align import find_sentence_range
+from legal_knowledge_graph_spark.operators.align import DocAligner
 
 # Heading detectors for the deterministic proposer. A learned model
 # slots into propose_and_align's inner function without changing the
@@ -102,6 +102,9 @@ def propose_and_align(extracted: DataFrame) -> DataFrame:
                 if not arts:
                     continue
                 secs = list(_SECTION_RE.finditer(body))
+                # one tokenization/index per document, shared by every
+                # section's two boundary alignments
+                aligner = DocAligner(body)
                 for ai, am in enumerate(arts):
                     art_key = f"ARTICLE_{am.group(1)}"
                     art_end = arts[ai + 1].start() if ai + 1 < len(arts) else len(body)
@@ -114,7 +117,7 @@ def propose_and_align(extracted: DataFrame) -> DataFrame:
                         start_sent, end_sent = _boundary_sentences(body, seg_start, seg_end)
                         if not start_sent:
                             continue
-                        s, e = find_sentence_range(body, start_sent, end_sent)
+                        s, e = aligner.sentence_range(start_sent, end_sent)
                         rows.append(
                             (
                                 url,

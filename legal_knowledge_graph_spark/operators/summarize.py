@@ -164,12 +164,20 @@ def document_summaries(chunks_summarized: DataFrame) -> DataFrame:
 
 def embed_texts_np(texts: list[str], dim: int = DEFAULT_EMBED_DIM) -> np.ndarray:
     """Feature-hashed bag-of-tokens, L2-normalized. Deterministic,
-    dimension-stable, batch-vectorized. The model slot for W6."""
+    dimension-stable, batch-vectorized. The model slot for W6.
+
+    Token -> (bucket, sign) is memoized per call: natural-language
+    batches repeat tokens heavily, so the FNV hash runs once per
+    distinct token per batch instead of once per occurrence."""
     out = np.zeros((len(texts), dim), dtype=np.float32)
+    memo: dict[str, tuple[int, float]] = {}
     for i, t in enumerate(texts):
         for tok in _TOKEN_RE.findall((t or "").lower()):
-            h = hash_token(tok)
-            out[i, h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+            bs = memo.get(tok)
+            if bs is None:
+                h = hash_token(tok)
+                bs = memo[tok] = (h % dim, 1.0 if (h >> 16) % 2 == 0 else -1.0)
+            out[i, bs[0]] += bs[1]
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms

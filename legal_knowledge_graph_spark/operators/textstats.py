@@ -70,8 +70,12 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_chars = F.greatest(F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("double"), F.lit(1.0))
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
-    punct = F.length(
-        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^!-/:-@\[-`{-~]", "")
+    # punct count = total chars - chars surviving punct removal; the
+    # POSITIVE class stays on the JVM regex fast path (negated classes
+    # are ~20x slower — see functions/text.normalize_surface)
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    punct = (
+        F.length(raw) - F.length(F.regexp_replace(raw, r"[!-/:-@\[-`{-~]+", ""))
     ).cast("double")
     len_f = F.least(n_tokens, F.lit(200.0)) / 200.0
     stop_f = F.least(
