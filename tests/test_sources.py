@@ -1,0 +1,102 @@
+"""Sources S1-S3: benchmark JSON reader + disjoint-span validation,
+deterministic sampling, wholetext corpus scan, html->text."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from legal_knowledge_graph_spark.sources.readers import (
+    html_to_text,
+    read_benchmark_json,
+    read_text_corpus,
+    referenced_corpus,
+    sample_tests,
+    validate_snippets,
+)
+
+
+def _write_benchmark(tmp_path, tests):
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps({"tests": tests}))
+    return str(p)
+
+
+def test_benchmark_reader_and_validation(spark, tmp_path):
+    good = [
+        {
+            "query": "q1",
+            "snippets": [
+                {"file_path": "a.txt", "span": [0, 10], "answer": None},
+                {"file_path": "a.txt", "span": [10, 20], "answer": None},
+                {"file_path": "b.txt", "span": [5, 9], "answer": None},
+            ],
+            "tags": ["t"],
+        },
+        {
+            "query": "q2",
+            "snippets": [{"file_path": "a.txt", "span": [3, 7], "answer": "x"}],
+            "tags": None,
+        },
+    ]
+    df = read_benchmark_json(spark, _write_benchmark(tmp_path, good))
+    assert df.count() == 4
+    assert validate_snippets(df).count() == 0
+
+    bad = [
+        {
+            "query": "q1",
+            "snippets": [
+                {"file_path": "a.txt", "span": [0, 10], "answer": None},
+                {"file_path": "a.txt", "span": [5, 20], "answer": None},  # overlap
+                {"file_path": "a.txt", "span": [30, 30], "answer": None},  # empty
+            ],
+            "tags": [],
+        }
+    ]
+    bad_path = tmp_path / "bad.json"
+    bad_path.write_text(json.dumps({"tests": bad}))
+    viol = validate_snippets(read_benchmark_json(spark, str(bad_path)))
+    assert viol.count() == 2
+
+
+def test_sample_tests_deterministic_cap(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("test_id"))
+    a = [r["test_id"] for r in sample_tests(df, "test_id", 194).collect()]
+    b = [r["test_id"] for r in sample_tests(df, "test_id", 194).collect()]
+    assert len(a) == 194
+    assert a == b  # deterministic
+    assert a != sorted(a)  # hash order, not id order
+
+
+def test_text_corpus_and_referenced_filter(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "one.txt").write_text("first contract follows: body one")
+    (d / "two.txt").write_text("second contract text")
+    corpus = read_text_corpus(spark, str(d / "*.txt"))
+    rows = {r["url"].split("/")[-1]: r["text"] for r in corpus.collect()}
+    assert rows["one.txt"].endswith("body one")
+    assert len(rows) == 2
+
+    snippets = spark.createDataFrame(
+        [(0, corpus.where(F.col("url").endswith("one.txt")).first()["url"], 0, 5)],
+        "test_id long, file_path string, span_start long, span_end long",
+    )
+    ref = referenced_corpus(corpus, snippets)
+    assert ref.count() == 1
+    assert ref.first()["url"].endswith("one.txt")
+
+
+def test_html_to_text(spark):
+    html = (
+        b"<html><head><style>p{color:red}</style>"
+        b"<script>var x = '<p>';</script></head>"
+        b"<body><h1>Title</h1><p>Hello &amp; welcome &lt;here&gt;.</p>"
+        b"<div>Second   line</div></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary").select(
+        html_to_text(F.col("html")).alias("text")
+    )
+    assert df.first()["text"] == "Title Hello & welcome <here>. Second line"
