@@ -928,3 +928,170 @@ ORACLES.update(
         "bpe_tokens": SQL_BPE_TOKENS,
     }
 )
+
+
+# --------------------------------------------- query surface (Q3/Q4/Q5)
+
+
+def _embedding_graph(spark: SparkSession, sf_dir: str):
+    """Derived graph for query-surface oracles: every embedding row is
+    a Chunk node (vector = embedding), CHILD edges from 10 synthetic
+    parent nodes (parent k -> vec ids with vec_id % 10 == k)."""
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    nodes = embs.select(
+        F.col("vid").alias("node_id"),
+        F.lit("Chunk").alias("label"),
+        F.concat(F.lit("v"), F.col("vec_id")).alias("name"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("summary"),
+        F.concat(F.lit("content_"), F.col("vec_id")).alias("content"),
+        F.col("embedding").alias("vector"),
+    )
+    edges = embs.select(
+        (F.lit(1000000) + F.col("vid") % 10).alias("src_id"),
+        F.col("vid").alias("dst_id"),
+        F.lit("CHILD").alias("type"),
+    )
+    return nodes, edges
+
+
+def q_search_children_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — 1-hop CHILD expansion + cosine top-k via the real query
+    operator (operators/query.search_children), on the derived graph:
+    parent 1000003's children scored against embedding #7."""
+    from pyspark.sql import Window
+
+    from legal_knowledge_graph_spark.operators.query import search_children
+
+    nodes, edges = _embedding_graph(spark, sf_dir)
+    qv = [float(x) for x in _embs(spark, sf_dir).where("vec_id = '7'").first()["embedding"]]
+    res = search_children(nodes, edges, 1000003, qv, top_k=5, threshold=-2.0)
+    w = Window.orderBy(F.desc("score"), "node_id")
+    return res.select("node_id", "name", F.row_number().over(w).alias("rank"))
+
+
+SQL_SEARCH_CHILDREN = """
+with q as (select embedding::double[] as qv from embeddings where vec_id::bigint = 7),
+kids as (
+  select vec_id::bigint as node_id, 'v' || vec_id as name,
+         list_cosine_similarity(embedding::double[], (select qv from q)) as score
+  from embeddings where vec_id::bigint % 10 = 3
+)
+select node_id, name,
+       row_number() over (order by score desc, node_id)::int as rank
+from kids order by rank limit 5
+"""
+
+
+def q_search_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — both NEXT directions, DISTINCT (search_neighbor_chunk.py
+    semantics) via the real operator: nodes are orderkey 7's DISTINCT
+    linenumbers chained in sorted order; probe = the 2nd node, so the
+    expected neighbors are exactly the 1st and 3rd."""
+    from pyspark.sql import Window
+
+    from legal_knowledge_graph_spark.operators.query import search_neighbors
+
+    li = (
+        _lineitem(spark, sf_dir)
+        .where("l_orderkey = 7")
+        .select("l_linenumber")
+        .distinct()
+    )
+    w = Window.orderBy("l_linenumber")
+    ranked = li.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nid", F.lit(700) + F.col("l_linenumber")
+    )
+    nodes = ranked.select(
+        F.col("nid").alias("node_id"),
+        F.lit("Chunk").alias("label"),
+        F.concat(F.lit("line_"), F.col("l_linenumber")).alias("name"),
+        F.lit(None).cast("string").alias("summary"),
+        F.concat(F.lit("c"), F.col("l_linenumber")).alias("content"),
+    )
+    edges = (
+        ranked.withColumn("prev", F.lag("nid").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("src_id"),
+            F.col("nid").alias("dst_id"),
+            F.lit("NEXT").alias("type"),
+        )
+    )
+    probe = ranked.where("rk = 2").first()["nid"]
+    return search_neighbors(nodes, edges, int(probe)).select("node_id", "name", "text")
+
+
+SQL_SEARCH_NEIGHBORS = """
+with ln as (
+  select distinct l_linenumber from lineitem where l_orderkey = 7
+),
+ranked as (
+  select l_linenumber, row_number() over (order by l_linenumber) as rk,
+         700 + l_linenumber as nid
+  from ln
+)
+select nid as node_id, 'line_' || l_linenumber as name, 'c' || l_linenumber as text
+from ranked where rk in (1, 3)
+"""
+
+
+def q_resolve_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — span re-resolution semantics (tools/response.py:50-61):
+    locate chunk content verbatim in the page text, drop-if-absent.
+    Chunk contents derived as substrings of documents.text (one
+    planted miss per 10 docs exercises the drop branch)."""
+    d = _docs(spark, sf_dir)
+    chunks = d.select(
+        F.col("doc_id").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        F.expr(
+            "case when doc_id % 10 = 4 then 'NOT IN THE PAGE TEXT' "
+            "else substr(text, 11, 25) end"
+        ).alias("content"),
+    )
+    pages = d.select(F.col("doc_id").cast("string").alias("url"), "text")
+    joined = chunks.join(pages, "url")
+    loc = F.expr("instr(text, content)")
+    return (
+        joined.withColumn("_loc", loc)
+        .where(F.col("_loc") > 0)
+        .select(
+            "chunk_id",
+            "url",
+            (F.col("_loc") - 1).cast("long").alias("span_start"),
+            (F.col("_loc") - 1 + F.length("content")).cast("long").alias("span_end"),
+        )
+    )
+
+
+SQL_RESOLVE_SPANS = """
+with chunks as (
+  select doc_id as chunk_id, doc_id::varchar as url,
+         case when doc_id % 10 = 4 then 'NOT IN THE PAGE TEXT'
+              else substr(text, 11, 25) end as content,
+         text
+  from documents
+)
+select chunk_id, url,
+       (strpos(text, content) - 1)::bigint as span_start,
+       (strpos(text, content) - 1 + length(content))::bigint as span_end
+from chunks
+where strpos(text, content) > 0
+"""
+
+
+QUERIES.update(
+    {
+        "search_children_topk": q_search_children_topk,
+        "search_neighbors": q_search_neighbors,
+        "resolve_spans": q_resolve_spans,
+    }
+)
+ORACLES.update(
+    {
+        "search_children_topk": SQL_SEARCH_CHILDREN,
+        "search_neighbors": SQL_SEARCH_NEIGHBORS,
+        "resolve_spans": SQL_RESOLVE_SPANS,
+    }
+)
