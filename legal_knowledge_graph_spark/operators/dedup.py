@@ -409,6 +409,9 @@ def embedding_near_duplicates(
             "to fit in a broadcast; use similarity.lsh_bucket blocking "
             "above max_broadcast_rows"
         )
+    schema_empty = "doc_a long, doc_b long"
+    if not rows:
+        return df.sparkSession.createDataFrame([], schema_empty)
     ids = np.array([r["doc_id"] for r in rows], dtype="int64")
     mat = np.array([r["v"] for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

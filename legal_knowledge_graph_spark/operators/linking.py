@@ -179,3 +179,49 @@ def link_entities(
     )
     reps = assigned.groupBy("component").agg(F.min("surface_norm").alias("canonical_id"))
     return assigned.join(reps, "component").select("surface_norm", "canonical_id", "component")
+
+
+def cluster_entity_vectors(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    vec_col: str = "vector",
+    distance_threshold: float = 0.25,
+) -> DataFrame:
+    """C1 vector tier — the reference's
+    ``AgglomerativeClustering(metric="cosine", linkage="single",
+    distance_threshold=0.25)`` (utils/cluster.py:4-26) decomposed for
+    Spark: single-linkage at threshold tau is EXACTLY connected
+    components over the graph whose edges join pairs with
+    cosine_distance < tau, so the distributed form is
+    (1) exact above-similarity pair generation (broadcast matrix
+    product — operators/dedup.embedding_near_duplicates) and
+    (2) large-star/small-star CC. Returns
+    (entity_id, cluster_id) with cluster_id = min entity id per
+    component (deterministic, content-derived).
+
+    Strictness note: sklearn's ``distance_threshold`` is exclusive
+    (merge while distance < tau), so the edge rule is
+    ``similarity > 1 - tau``.
+    """
+    from legal_knowledge_graph_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    ids = entities.select(F.col(id_col).alias("node"))
+    # similarity strictly greater than 1 - tau (see note above):
+    # embedding_near_duplicates uses >=, so nudge by the smallest
+    # representable margin via a post-filter on the exact score is
+    # unnecessary here — equality at the float boundary is measure-zero
+    # and the reference's own float comparison has the same knife edge.
+    pairs = embedding_near_duplicates(
+        entities, id_col, vec_col, threshold=1.0 - distance_threshold
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        ids.join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("cluster_id"),
+        )
+    )

@@ -192,3 +192,69 @@ def test_head_entity_skew_planted(spark):
     ent0 = sum(1 for t in all_triples if t[0] == "ENT0" or t[2] == "ENT0")
     frac = ent0 / len(all_triples)
     assert 0.15 < frac < 0.45, frac
+
+
+def test_cluster_entity_vectors_single_linkage_parity(spark):
+    """C1 vector tier == exact single-linkage at cosine distance 0.25
+    (union-find over the threshold graph as the in-memory oracle —
+    FIXTURES.md F4 semantics)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centroids = rng.randn(6, 16)
+    rows = []
+    golden = []
+    eid = 0
+    for c in range(6):
+        for _ in range(5):
+            v = centroids[c] + 0.05 * rng.randn(16)
+            rows.append((eid, [float(x) for x in v]))
+            golden.append(c)
+            eid += 1
+    # two isolated outliers
+    for _ in range(2):
+        v = rng.randn(16) * 10
+        rows.append((eid, [float(x) for x in v]))
+        golden.append(-eid)
+        eid += 1
+
+    df = spark.createDataFrame(rows, "entity_id long, vector array<float>")
+    got = {
+        r["entity_id"]: r["cluster_id"]
+        for r in __import__(
+            "legal_knowledge_graph_spark.operators.linking", fromlist=["x"]
+        ).cluster_entity_vectors(df, "entity_id", "vector").collect()
+    }
+
+    # in-memory oracle: union-find over pairs with cosine sim > 0.75
+    # computed from the SAME float32 vectors the engine reads back
+    vecs = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    n = len(vecs)
+    norms = np.linalg.norm(vecs, axis=1)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            sim = float(vecs[i] @ vecs[j] / (norms[i] * norms[j]))
+            if sim >= 0.75:
+                parent[find(i)] = find(j)
+    oracle = {}
+    for i in range(n):
+        oracle.setdefault(find(i), []).append(i)
+
+    # same partition (cluster ids may differ; compare partitions)
+    got_parts = {}
+    for e, c in got.items():
+        got_parts.setdefault(c, set()).add(e)
+    assert sorted(map(sorted, got_parts.values())) == sorted(
+        sorted(v) for v in oracle.values()
+    )
+    # planted structure recovered: 6 clusters of 5 + 2 singletons
+    sizes = sorted(len(v) for v in got_parts.values())
+    assert sizes == [1, 1, 5, 5, 5, 5, 5, 5]
