@@ -1095,3 +1095,25 @@ ORACLES.update(
         "resolve_spans": SQL_RESOLVE_SPANS,
     }
 )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (train -> assign -> probe). No SQL oracle
+    (centroids come from driver-side Lloyd iterations); rows-only
+    check — the pytest suite asserts recall vs the exact path."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        ivf_assign,
+        ivf_top_k,
+        train_ivf_centroids,
+    )
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    q = [float(x) for x in embs.where("vid = 11").first()["embedding"]]
+    cents = train_ivf_centroids(embs, "embedding", k=16)
+    indexed = ivf_assign(embs, "embedding", cents)
+    return ivf_top_k(indexed, "vid", "embedding", q, cents, k=10, n_probe=4).select(
+        "id", "rank"
+    )
+
+
+QUERIES["ivf_ann"] = q_ivf_ann

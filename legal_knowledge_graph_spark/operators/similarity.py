@@ -120,3 +120,110 @@ def lsh_top_k(
     return brute_force_top_k(
         bucketed.where(F.col("lsh_bucket") == qbucket), id_col, vec_col, query_vector, k
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    vec_col: str,
+    k: int = 64,
+    iterations: int = 4,
+    sample_limit: int = 100_000,
+) -> list[list[float]]:
+    """Deterministic mini-Lloyd's on a hash-ordered sample.
+
+    Init = first k vectors in md5-hash order (deterministic, unbiased);
+    each iteration assigns the sample to its nearest centroid by cosine
+    and recomputes means — all in numpy on the driver over a bounded
+    sample (the standard IVF recipe: training is sampled, ASSIGNMENT is
+    distributed). Returns unit-norm centroids.
+    """
+    import numpy as np
+
+    sample = (
+        vectors.select(F.md5(F.col(vec_col).cast("string")).alias("_k"), vec_col)
+        .orderBy("_k")
+        .limit(sample_limit)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in sample], dtype="float64")
+    if len(X) == 0:
+        return []
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    k = min(k, len(X))
+    C = X[:k].copy()
+    for _ in range(iterations):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return [[float(x) for x in c] for c in C]
+
+
+def ivf_assign(vectors: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add an ``ivf_cell`` int column = argmax-cosine centroid. The
+    centroid matrix broadcasts; assignment is one numpy matmul per
+    Arrow batch. At scale the table is written
+    ``partitionBy(ivf_cell)`` so probes prune to n_probe/k of the data.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.array(centroids, dtype="float64")
+    spark = vectors.sparkSession
+    bC = spark.sparkContext.broadcast(C)
+    schema = T.StructType(vectors.schema.fields + [T.StructField("ivf_cell", T.IntegerType(), False)])
+    cols = vectors.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CM = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["ivf_cell"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            X = np.array(list(pdf[vec_col]), dtype="float64")
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            cells = np.argmax((X / n) @ CM.T, axis=1).astype("int32")
+            out = pdf[cols].copy()
+            out["ivf_cell"] = cells
+            yield out
+
+    return vectors.mapInPandas(run, schema)
+
+
+def ivf_top_k(
+    indexed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vector: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score the query against the centroids, scan
+    only the ``n_probe`` nearest cells, exact top-k within. Recall
+    rises with n_probe (n_probe == len(centroids) is exact)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype="float64")
+    q = np.array(query_vector, dtype="float64")
+    qn = np.linalg.norm(q) or 1.0
+    order = np.argsort(-(C @ (q / qn)))
+    probe_cells = [int(c) for c in order[:n_probe]]
+    return brute_force_top_k(
+        indexed.where(F.col("ivf_cell").isin(probe_cells)), id_col, vec_col, query_vector, k
+    )

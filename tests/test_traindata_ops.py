@@ -254,3 +254,41 @@ def test_fake_features_deterministic():
     a = deterministic_fake_features(blobs)
     b = deterministic_fake_features(blobs)
     assert np.array_equal(a, b)
+
+
+def test_ivf_ann_recall_beats_hyperplane_lsh(spark, embs):
+    """IVF with n_probe=4/16 must recover most of the exact top-10 —
+    and concretely beat the hyperplane-LSH path on this embedding
+    distribution (where LSH recall is poor, ~0.2)."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        brute_force_top_k,
+        ivf_assign,
+        ivf_top_k,
+        lsh_top_k,
+        train_ivf_centroids,
+    )
+
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long"))
+    dim = len(sub.first()["embedding"])
+    q = [float(x) for x in sub.where("vid = 11").first()["embedding"]]
+
+    exact = {r["id"] for r in brute_force_top_k(sub, "vid", "embedding", q, k=10).collect()}
+    cents = train_ivf_centroids(sub, "embedding", k=16)
+    indexed = ivf_assign(sub, "embedding", cents).localCheckpoint()
+    approx = {
+        r["id"]
+        for r in ivf_top_k(indexed, "vid", "embedding", q, cents, k=10, n_probe=4).collect()
+    }
+    recall_ivf = len(exact & approx) / 10
+    lsh = {r["id"] for r in lsh_top_k(sub, "vid", "embedding", q, dim=dim, k=10).collect()}
+    recall_lsh = len(exact & lsh) / 10
+    assert recall_ivf >= 0.5, f"ivf recall {recall_ivf}"
+    assert recall_ivf > recall_lsh, (recall_ivf, recall_lsh)
+    # full probe == exact
+    full = {
+        r["id"]
+        for r in ivf_top_k(indexed, "vid", "embedding", q, cents, k=10, n_probe=16).collect()
+    }
+    assert full == exact
+    # determinism of training
+    assert cents == train_ivf_centroids(sub, "embedding", k=16)
