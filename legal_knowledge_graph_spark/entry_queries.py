@@ -1117,3 +1117,37 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ivf_ann"] = q_ivf_ann
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal aggregation (ROLLUP) over lineitem —
+    the multi-level aggregate shape (per-flag x status, per-flag,
+    grand total). Null subtotal markers coalesced to 'ALL' so the
+    oracle compare is null-free."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_ROLLUP = """
+select coalesce(l_returnflag, 'ALL') as returnflag,
+       coalesce(l_linestatus, 'ALL') as linestatus,
+       count(*)::bigint as n_rows,
+       sum(l_quantity::bigint)::bigint as sum_qty
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+"""
+
+QUERIES["rollup_agg"] = q_rollup_agg
+ORACLES["rollup_agg"] = SQL_ROLLUP
