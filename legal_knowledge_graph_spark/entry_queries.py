@@ -317,7 +317,10 @@ order by rank limit 10
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over a derived corpus with 50 planted duplicates."""
+    """Exact dedup over a derived corpus with 50 planted duplicates.
+    The member-id list is projected to a sorted CSV string — the
+    driver's canonicalizer hashes scalars only (array cells are
+    unhashable in its pandas sort)."""
     from legal_knowledge_graph_spark.operators.dedup import exact_duplicates
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -325,7 +328,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     return exact_duplicates(d.unionByName(dups), "doc_id", "text").select(
-        "group_key", "n_dups", "doc_ids"
+        "group_key",
+        "n_dups",
+        F.concat_ws(
+            ",", F.transform(F.col("doc_ids"), lambda x: x.cast("string"))
+        ).alias("doc_ids_csv"),
     )
 
 
@@ -337,7 +344,7 @@ with corpus as (
 )
 select md5(lower(trim(text))) as group_key,
        count(*)::bigint as n_dups,
-       list_sort(list(doc_id)) as doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') as doc_ids_csv
 from corpus group by md5(lower(trim(text))) having count(*) >= 2
 """
 
@@ -666,17 +673,50 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing with the deterministic fake decoder —
-    floats + Python stage; rows-only check."""
+    """Multimodal decode plumbing with the deterministic fake decoder.
+    The float feature array is exploded to scalar rows and the L1
+    normalization inverted (value * n_bytes rounds back to the exact
+    integer bucket count — float32 error ≪ 0.5), so the Python decode
+    stage gets a full integer DuckDB oracle instead of the round-1
+    array-typed ERR."""
     from legal_knowledge_graph_spark.operators.multimodal import (
         decode_features,
         deterministic_fake_features,
     )
 
     d = _docs(spark, sf_dir).withColumn("blob", F.encode("text", "utf-8"))
-    return decode_features(
+    feats = decode_features(
         d, "doc_id", "blob", dim=16, decode_fn=deterministic_fake_features
     )
+    nb = d.select("doc_id", F.length("blob").cast("double").alias("nb"))
+    return (
+        feats.join(nb, "doc_id")
+        .select("doc_id", "nb", F.posexplode("features").alias("bucket", "val"))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(F.col("val").cast("double") * F.col("nb"))
+            .cast("long")
+            .alias("byte_count"),
+        )
+    )
+
+
+SQL_DECODE_FEATURES = """
+with d as (select doc_id, coalesce(text,'') as text from documents),
+pos as (
+  select doc_id, text, unnest(generate_series(1, length(text))) as i
+  from d where length(text) > 0
+),
+cnt as (
+  select doc_id, ascii(substr(text, i, 1)) % 16 as bucket, count(*)::bigint as c
+  from pos group by 1, 2
+),
+grid as (select doc_id, unnest(generate_series(0, 15)) as bucket from d)
+select g.doc_id, g.bucket::int as bucket, coalesce(c.c, 0)::bigint as byte_count
+from grid g
+left join cnt c on c.doc_id = g.doc_id and c.bucket = g.bucket
+"""
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,8 +795,10 @@ ORACLES: dict[str, str] = {
     "media_meta": SQL_MEDIA_META,
     "span_pr": SQL_SPAN_PR,
     "quality_score": SQL_QUALITY,
-    # lsh_ann, decode_features: intentionally no oracle (approximate /
-    # Python-stage float outputs) -> driver records rows-only checks.
+    "decode_features": SQL_DECODE_FEATURES,
+    # lsh_ann: intentionally no oracle (hash-bucketed recall is
+    # engine-specific) -> rows-only; the exactness reduction is gated
+    # by lsh_ann_exact below.
 }
 
 
@@ -823,7 +865,7 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") * 100).cast("long")).alias("value_sum_x100"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_sum_x100"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),

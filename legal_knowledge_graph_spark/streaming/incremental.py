@@ -112,7 +112,7 @@ def stream_event_windows(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") * 100).cast("long")).alias("value_sum_x100"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_sum_x100"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
