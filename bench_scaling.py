@@ -27,7 +27,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, pages_path: str, n_expected: int) -> tuple[float, int]:
+def _fingerprint(df):
+    """Order-insensitive content fingerprint: (sum of xxhash64 over the
+    stringified row with sorted columns, row count) — identical tables
+    at any parallelism level must produce identical values."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    return (
+        df.select(h.alias("_h"))
+        .agg(F.bit_xor("_h").alias("s"), F.count("*").alias("n"))
+        .first()
+    )
+
+
+def run_once(cores: int, pages_path: str, n_expected: int) -> tuple[float, int, tuple]:
     from legal_knowledge_graph_spark.pipeline import run_pipeline
     from legal_knowledge_graph_spark.session import get_spark
 
@@ -40,7 +55,14 @@ def run_once(cores: int, pages_path: str, n_expected: int) -> tuple[float, int]:
         out = run_pipeline(spark, pages, os.path.join(work, "kg"))
         n_triples = out["triples"].count()
         out["edges"].count()
-        return time.time() - t0, n_triples
+        dt = time.time() - t0
+        # content fingerprints (outside the timed window): sum+count of
+        # xxhash64 over sorted-column stringified rows, per table
+        fps = []
+        for name in ("triples", "nodes", "edges"):
+            r = _fingerprint(out[name])
+            fps.append((name, int(r["s"] or 0), int(r["n"])))
+        return dt, n_triples, tuple(fps)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -61,9 +83,10 @@ def main() -> None:
     setup.stop()
 
     try:
-        t_n, trip_n = run_once(n, pages_path, n_pages)
-        t_4n, trip_4n = run_once(4 * n, pages_path, n_pages)
+        t_n, trip_n, fp_n = run_once(n, pages_path, n_pages)
+        t_4n, trip_4n, fp_4n = run_once(4 * n, pages_path, n_pages)
         assert trip_n == trip_4n, "parallelism changed the result!"
+        assert fp_n == fp_4n, f"content fingerprints diverged: {fp_n} != {fp_4n}"
         tp_n, tp_4n = trip_n / t_n, trip_4n / t_4n
         print(
             json.dumps(

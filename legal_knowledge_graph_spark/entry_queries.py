@@ -357,7 +357,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "inter_size", "union_size")
 
 
-def _sql_minhash(n_perm: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+def _sql_minhash(
+    n_perm: int = 16, bands: int = 4, threshold: float = 0.7, max_block: int = 1000
+) -> str:
     from legal_knowledge_graph_spark.operators.dedup import MINHASH_P, _perm_coeffs
 
     rpb = n_perm // bands
@@ -389,9 +391,14 @@ hashed as (
 ),
 sigs as (select doc_id, {sig_cols} from hashed group by doc_id),
 banded as ({band_rows}),
+bsz as (select band_key, count(*) as bs from banded group by band_key),
+capped as (
+  select b.doc_id, b.band_key from banded b
+  join bsz using (band_key) where bs <= {max_block}
+),
 cand as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
-  from banded a join banded b using (band_key)
+  from capped a join capped b using (band_key)
   where a.doc_id < b.doc_id
 ),
 sizes as (select doc_id, count(*)::bigint as sz from sh group by doc_id),

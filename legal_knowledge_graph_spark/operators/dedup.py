@@ -23,8 +23,11 @@ Scale notes:
   The groupBy(min) signature aggregation is map-side combinable, so
   the shuffle carries only (doc, perm, min-hash) rows — n_perm rows
   per doc, independent of text length.
-- band-bucket self-joins cap bucket size (max_block) and COUNT what
-  they drop; a stop-text bucket would otherwise emit B^2 pairs.
+- band-bucket self-joins cap bucket size (max_block); a stop-text
+  bucket would otherwise emit B^2 pairs. Drops are countable on demand
+  (pass ``metrics=`` to lsh_candidate_pairs / minhash_near_duplicates)
+  and the DuckDB oracle applies the same cap, so capping never makes
+  the gate inexact.
 """
 
 from __future__ import annotations
@@ -127,9 +130,18 @@ def lsh_candidate_pairs(
     n_perm: int = DEFAULT_MINHASH_PERMS,
     bands: int = DEFAULT_BANDS,
     max_block: int = DEFAULT_MAX_BLOCK,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Banded LSH: pair (a, b) is a candidate iff some band's rows all
-    agree. Returns (doc_a, doc_b), doc_a < doc_b."""
+    agree. Returns (doc_a, doc_b), doc_a < doc_b.
+
+    Band buckets larger than ``max_block`` are excluded from the
+    self-join (a stop-text bucket of B members would emit B^2 pairs).
+    Pass a ``metrics`` dict to have the drop COUNTED (keys
+    ``dropped_buckets`` / ``dropped_rows`` — one extra tiny aggregation
+    over the bucket-size table); the DuckDB oracle in
+    entry_queries._sql_minhash applies the same cap, so the gate stays
+    exact under capping."""
     rpb = n_perm // bands
     band_keys = [
         F.concat_ws(
@@ -141,6 +153,17 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
     sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    if metrics is not None:
+        dropped = (
+            sizes.where(F.col("bs") > max_block)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("bs"), F.lit(0)).alias("nr"),
+            )
+            .first()
+        )
+        metrics["dropped_buckets"] = int(dropped["nb"])
+        metrics["dropped_rows"] = int(dropped["nr"])
     banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
@@ -153,19 +176,31 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify_bitset(
-    sh: DataFrame, pairs: DataFrame, max_vocab: int = 1 << 16, max_docs: int = 1_000_000
+    sh: DataFrame,
+    pairs: DataFrame,
+    max_vocab: int = 1 << 16,
+    max_docs: int = 1_000_000,
+    max_mask_bytes: int = 1 << 28,
 ) -> DataFrame | None:
     """Exact Jaccard verify via broadcast **bitset popcounts** — same
     values as :func:`jaccard_verify`, different physical plan.
 
     When the distinct-gram vocabulary is small (char-3-grams over a
     bounded alphabet: a few hundred to tens of thousands), every doc's
-    shingle set packs into a V-bit mask (V/8 bytes). The full mask
-    table broadcasts (1M docs x 8 KB at V=65536 is the ceiling), and
-    each Arrow batch of candidate pairs computes intersection sizes as
-    vectorized popcount(A & B) — no shuffle touches the gram table at
-    all. Returns None when the vocab/doc bounds are exceeded (caller
-    falls back to the shuffle-join verify).
+    shingle set packs into a V-bit mask (V/8 bytes). The mask table
+    broadcasts, and each Arrow batch of candidate pairs computes
+    intersection sizes as vectorized popcount(A & B).
+
+    Bound discipline (the driver is protected BEFORE anything large
+    moves): the vocab is collected under a ``limit(max_vocab + 1)``
+    (bounded by construction), then the distinct doc count is measured
+    with one cheap aggregate and the **product** ``n_docs * mask_bytes``
+    is checked against ``max_mask_bytes`` (dim-aware: 256 MB default)
+    before any mask is built. Masks are built per-doc with
+    ``applyInPandas`` grouped by doc_id, so the collect is exactly
+    ``n_docs`` rows — never per-partition-inflated. Returns None when
+    any bound is exceeded (caller falls back to the shuffle-join
+    :func:`jaccard_verify`, which is the 100-TB-scale path).
     """
     from typing import Iterator
 
@@ -180,6 +215,12 @@ def jaccard_verify_bitset(
     gram_idx = {g: i for i, g in enumerate(sorted(r["gram"] for r in vocab_rows))}
     nbytes = (len(gram_idx) + 7) // 8
 
+    # guard on the real product BEFORE materializing anything: one
+    # map-side-combinable countDistinct over the (small) gram table.
+    n_docs = sh.agg(F.countDistinct("doc_id").alias("n")).first()["n"]
+    if n_docs > max_docs or n_docs * nbytes > max_mask_bytes:
+        return None
+
     spark = sh.sparkSession
     b_idx = spark.sparkContext.broadcast(gram_idx)
 
@@ -190,31 +231,18 @@ def jaccard_verify_bitset(
         ]
     )
 
-    def build_masks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_mask(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = b_idx.value
-        for pdf in batches:
-            out: dict = {}
-            for d, g in zip(pdf["doc_id"], pdf["gram"]):
-                m = out.get(d)
-                if m is None:
-                    m = out[d] = np.zeros(nbytes, dtype=np.uint8)
-                i = idx[g]
-                m[i >> 3] |= 1 << (i & 7)
-            yield pd.DataFrame(
-                {"doc_id": list(out), "mask": [m.tobytes() for m in out.values()]}
-            )
+        m = np.zeros(nbytes, dtype=np.uint8)
+        for g in pdf["gram"]:
+            i = idx[g]
+            m[i >> 3] |= 1 << (i & 7)
+        return pd.DataFrame({"doc_id": pdf["doc_id"].iloc[:1], "mask": [m.tobytes()]})
 
-    # per-partition partial masks OR-ed on the driver (tiny: docs x V/8)
-    partial = sh.mapInPandas(build_masks, mask_schema).collect()
-    if len(partial) > max_docs:
-        return None
-    masks: dict = {}
-    for r in partial:
-        m = np.frombuffer(r["mask"], dtype=np.uint8)
-        if r["doc_id"] in masks:
-            masks[r["doc_id"]] = masks[r["doc_id"]] | m
-        else:
-            masks[r["doc_id"]] = m
+    # exactly one mask row per doc (grouped), so the collect moves
+    # n_docs * nbytes bytes — the product checked above.
+    mask_rows = sh.groupBy("doc_id").applyInPandas(build_mask, mask_schema).collect()
+    masks = {r["doc_id"]: np.frombuffer(r["mask"], dtype=np.uint8) for r in mask_rows}
     pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
     b_masks = spark.sparkContext.broadcast(masks)
 
@@ -284,18 +312,21 @@ def minhash_near_duplicates(
     n_perm: int = DEFAULT_MINHASH_PERMS,
     bands: int = DEFAULT_BANDS,
     k: int = 3,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup tier: shingle -> sign -> band ->
     bucket-join -> exact-Jaccard verify. Returns
     (doc_a, doc_b, inter_size, union_size) for pairs with
-    jaccard >= threshold that share >= 1 LSH band."""
+    jaccard >= threshold that share >= 1 LSH band. ``metrics`` (opt-in)
+    receives the capped-bucket drop counts from lsh_candidate_pairs."""
     # The shingle explosion feeds three consumers (signatures, sizes,
     # intersection); localCheckpoint materializes it once instead of
     # re-exploding ~len(text) rows per doc three times. On a cluster
     # this is a cached/checkpointed intermediate table.
     sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, n_perm)
-    pairs = lsh_candidate_pairs(sigs, n_perm, bands)
+    pairs = lsh_candidate_pairs(sigs, n_perm, bands, max_block, metrics)
 
     # Exact size-ratio prefilter (lossless): J(A,B) <= min|.|/max|.|,
     # so a pair whose shingle-set sizes differ by more than the
@@ -378,6 +409,7 @@ def embedding_near_duplicates(
     vec_col: str,
     threshold: float = DEFAULT_COSINE_THRESHOLD,
     max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = 1 << 31,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (doc_a, doc_b) with
     cosine >= threshold.
@@ -391,8 +423,15 @@ def embedding_near_duplicates(
     pair table entirely — the crossJoin formulation moved ~12.5M
     128-float rows through a shuffle at a mere 5k vectors and is
     unusable at scale. The approximate (hyperplane-LSH) path for
-    N > max_broadcast_rows lives in operators/similarity.py; this
-    exact tier is the oracle-checkable baseline.
+    N > the caps lives in operators/similarity.py; this exact tier is
+    the oracle-checkable baseline.
+
+    Driver discipline: the cap is **dim-aware** — the row budget is
+    ``min(max_broadcast_rows, max_broadcast_bytes / (dim * 8))`` (so a
+    3072-dim corpus caps at ~87k rows under the 2 GB default, not a
+    blind 2M), and the matrix moves through ONE Arrow-batched
+    ``limit(cap + 1).toPandas()`` — no count()+collect() double action,
+    and never more than cap+1 rows regardless of input size.
     """
     from typing import Iterator
 
@@ -402,18 +441,21 @@ def embedding_near_duplicates(
     from pyspark.sql import types as T
 
     base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    rows = base.collect() if base.count() <= max_broadcast_rows else None
-    if rows is None:
-        raise ValueError(
-            "embedding_near_duplicates exact tier needs the vector set "
-            "to fit in a broadcast; use similarity.lsh_bucket blocking "
-            "above max_broadcast_rows"
-        )
     schema_empty = "doc_a long, doc_b long"
-    if not rows:
+    head = base.select(F.size("v").alias("d")).first()
+    if head is None:
         return df.sparkSession.createDataFrame([], schema_empty)
-    ids = np.array([r["doc_id"] for r in rows], dtype="int64")
-    mat = np.array([r["v"] for r in rows], dtype="float64")
+    dim = max(int(head["d"]), 1)
+    cap = min(max_broadcast_rows, max_broadcast_bytes // (dim * 8))
+    pdf_all = base.limit(cap + 1).toPandas()
+    if len(pdf_all) > cap:
+        raise ValueError(
+            f"embedding_near_duplicates exact tier needs the vector set "
+            f"to fit in a broadcast (cap {cap} rows at dim {dim}); use "
+            f"similarity.lsh_bucket blocking above the cap"
+        )
+    ids = pdf_all["doc_id"].to_numpy(dtype="int64")
+    mat = np.array(list(pdf_all["v"]), dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     unit = mat / norms

@@ -20,8 +20,9 @@ Scale design:
   the mention table (trillions of rows at 10^12 docs) is reduced with
   one map-side-combinable ``distinct`` before any pairwise work.
 - band buckets are capped (``max_block``): a stop-surface bucket of B
-  members would otherwise emit B^2 pairs. Dropped buckets are counted
-  and reported, not silently ignored.
+  members would otherwise emit B^2 pairs. Dropped buckets are
+  countable on demand (pass ``metrics=`` to candidate_pairs /
+  link_entities).
 - the canonical map output is small (distinct surfaces), so consumers
   broadcast it against the triple table — the big table never
   shuffles for canonicalization.
@@ -62,19 +63,30 @@ def candidate_pairs(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     max_block: int = DEFAULT_MAX_BLOCK,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """surfaces(surface_norm) -> (left, right) candidate pairs.
 
     MinHash with ``bands * rows_per_band`` permutations; a pair is a
     candidate if all minhashes of any band agree. Returns normalized
     surface string pairs with left < right.
+
+    Signatures use ONE xxhash64 per gram + integer permutations
+    ``(a_j * g + b_j) mod P`` (the scheme dedup.minhash_signatures
+    uses) — ~n_perm x cheaper than hashing every (gram, j) pair, with
+    the same collision behavior.
     """
+    from legal_knowledge_graph_spark.operators.dedup import MINHASH_P, _perm_coeffs
+
     shingled = surface_shingles(surfaces)
     n_perm = bands * rows_per_band
+    g = F.pmod(F.xxhash64(F.col("gram")), F.lit(MINHASH_P))
+    hashed = shingled.select("surface_norm", g.alias("g"))
     aggs = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}") for j in range(n_perm)
+        F.min((F.col("g") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(_perm_coeffs(n_perm))
     ]
-    sigs = shingled.groupBy("surface_norm").agg(*aggs)
+    sigs = hashed.groupBy("surface_norm").agg(*aggs)
 
     band_keys = [
         F.xxhash64(
@@ -86,9 +98,20 @@ def candidate_pairs(
         "surface_norm", F.explode(F.array(*band_keys)).alias("band_key")
     )
 
-    # Cap pathological buckets (stop-surface blocks). Count what we
-    # drop — no silent truncation.
+    # Cap pathological buckets (stop-surface blocks). Drops are
+    # counted on demand via ``metrics`` (one extra tiny aggregation).
     sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    if metrics is not None:
+        dropped = (
+            sizes.where(F.col("bs") > max_block)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("bs"), F.lit(0)).alias("nr"),
+            )
+            .first()
+        )
+        metrics["dropped_buckets"] = int(dropped["nb"])
+        metrics["dropped_rows"] = int(dropped["nr"])
     banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
 
     left = banded.select("band_key", F.col("surface_norm").alias("left"))
@@ -145,6 +168,7 @@ def link_entities(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     max_block: int = DEFAULT_MAX_BLOCK,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """mentions(url, surface, ...) -> canonical map
     (surface_norm, canonical_id, component).
@@ -161,7 +185,7 @@ def link_entities(
     # stable numeric node ids for CC
     with_id = surfaces.withColumn("sid", F.xxhash64("surface_norm"))
 
-    pairs = candidate_pairs(surfaces, bands, rows_per_band, max_block)
+    pairs = candidate_pairs(surfaces, bands, rows_per_band, max_block, metrics)
     edges_str = score_pairs(pairs).where(F.col("score") >= ratio_threshold)
 
     sid_map = with_id.select("surface_norm", "sid")

@@ -84,6 +84,70 @@ def test_minhash_near_dup_finds_planted_pair(spark, docs):
         assert r["inter_size"] >= 0.7 * r["union_size"]
 
 
+def test_bitset_verify_caps_before_collect(spark, docs):
+    """The bitset verify must decline (return None) when the doc-count
+    or mask-byte-product bound is exceeded — BEFORE collecting anything
+    — and agree exactly with the shuffle-join verify under the cap."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        jaccard_verify,
+        jaccard_verify_bitset,
+        shingles,
+    )
+
+    d = docs.select("doc_id", "text").where("doc_id < 20")
+    sh = shingles(d, "doc_id", "text")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
+    assert jaccard_verify_bitset(sh, pairs, max_mask_bytes=16) is None
+    assert jaccard_verify_bitset(sh, pairs, max_docs=5) is None
+    bs = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"])
+        for r in jaccard_verify_bitset(sh, pairs).collect()
+    }
+    sj = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"])
+        for r in jaccard_verify(sh, pairs).collect()
+    }
+    assert bs == sj and len(bs) == 2
+
+
+def test_embedding_near_dup_cap_is_dim_aware(spark, embs):
+    """The broadcast cap scales with rows x dim: a byte budget one row
+    short raises; the exact budget passes."""
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long")).where("vid < 50")
+    n = sub.count()
+    dim = len(sub.first()["embedding"])
+    with pytest.raises(ValueError):
+        embedding_near_duplicates(
+            sub, "vid", "embedding", max_broadcast_bytes=(n - 1) * dim * 8
+        )
+    ok = embedding_near_duplicates(
+        sub, "vid", "embedding", threshold=0.999999, max_broadcast_bytes=n * dim * 8
+    )
+    assert ok.count() >= 0
+
+
+def test_lsh_drop_metrics_counted(spark):
+    """Band buckets above max_block are excluded AND countable: with 10
+    identical docs every band bucket has 10 members, so max_block=5
+    drops everything and the metrics report it."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "aaaa bbbb cccc dddd eeee") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingles(d, "doc_id", "text"))
+    m: dict = {}
+    pairs = lsh_candidate_pairs(sigs, max_block=5, metrics=m)
+    assert pairs.count() == 0
+    assert m["dropped_buckets"] >= 1
+    assert m["dropped_rows"] >= 10
+
+
 def test_simhash_duckdb_parity(spark, docs, duck):
     got = {
         r["doc_id"]: r["simhash"]
