@@ -51,6 +51,17 @@ BENCH_QUERIES = [
     "language_id",
     "fingerprint",
     "salted_degree",
+    # round-1 additions (absent from BENCH_r01.queries — added so
+    # round-over-round regressions on them are detectable)
+    "rollup_agg",
+    "ivf_ann",
+    "bpe_tokens",
+    # round-2 additions
+    "tree_summarize",
+    "align_spans",
+    "toc_reshape",
+    "ivf_ann_exact",
+    "vector_attach",
 ]
 
 PAGES_PER_SF = 40_000  # sf0.1 -> 4,000 pages

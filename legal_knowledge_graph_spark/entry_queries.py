@@ -1200,3 +1200,500 @@ group by rollup (l_returnflag, l_linestatus)
 
 QUERIES["rollup_agg"] = q_rollup_agg
 ORACLES["rollup_agg"] = SQL_ROLLUP
+
+
+# ------------------------------------------------------- round-2 additions
+# Oracle coverage for the SURVEY §2 operators that were pytest-only in
+# round 1 (verdict item 2), plus the exactness reductions for the
+# approximate ANN paths (verdict item 5). Every query calls the REAL
+# operator; inputs are derived deterministically from the shared
+# testdata so the DuckDB oracle is exactly computable.
+
+
+def q_search_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (reference tools/search_corpus.py:23-27): Corpus-label scan ->
+    (contract_id, contract_name) ORDER BY name, via the real operator.
+    1-in-5 derived nodes are non-Corpus to exercise the label filter;
+    the ordering itself is asserted by pytest (the driver compare is
+    order-insensitive)."""
+    from legal_knowledge_graph_spark.operators.query import search_corpus
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("node_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Chunk"))
+        .otherwise(F.lit("Corpus"))
+        .alias("label"),
+        F.md5(F.col("doc_id").cast("string")).alias("name"),
+    )
+    return search_corpus(nodes)
+
+
+SQL_SEARCH_CORPUS = """
+select doc_id as contract_id, md5(doc_id::varchar) as contract_name
+from documents where doc_id % 5 <> 0
+"""
+
+
+def q_corpus_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (reference tools/get_corpus_toc.py:29-32): point lookup of one
+    Corpus node's TOC JSON via the real operator."""
+    from legal_knowledge_graph_spark.operators.query import get_corpus_toc
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("node_id"),
+        F.lit("Corpus").alias("label"),
+        F.expr("'{\"ARTICLE_' || (doc_id % 7) || '\":[\"s1\",\"s2\"]}'").alias(
+            "toc_json"
+        ),
+    )
+    return get_corpus_toc(nodes, 42)
+
+
+SQL_CORPUS_TOC = """
+select doc_id as node_id,
+       '{"ARTICLE_' || (doc_id % 7) || '":["s1","s2"]}' as toc_json
+from documents where doc_id = 42
+"""
+
+
+def q_toc_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (reference tools/get_corpus_toc.py:37-101): the TOC
+    dict-reshape, exercised through the real materialize.build_toc —
+    nested {article: [section,...]} JSON reassembled from leaf chunk
+    rows in (article-start, sibling) order."""
+    from legal_knowledge_graph_spark.operators.materialize import build_toc
+
+    base = (
+        _lineitem(spark, sf_dir)
+        .select((F.col("l_orderkey") % 200).alias("u"), F.col("l_linenumber").alias("ln"))
+        .distinct()
+    )
+    chunks = base.select(
+        F.concat(F.lit("u"), F.col("u").cast("string")).alias("url"),
+        F.concat(F.lit("ART_"), (F.col("ln") % 2).cast("string")).alias("parent_path"),
+        F.concat(F.lit("sec_"), F.col("ln").cast("string")).alias("path_key"),
+        F.col("ln").cast("int").alias("sibling_order"),
+        (F.col("ln") * 10 + F.col("ln") % 2).cast("long").alias("span_start"),
+        F.lit(True).alias("is_leaf"),
+    )
+    return build_toc(chunks)
+
+
+SQL_TOC_RESHAPE = """
+with base as (select distinct l_orderkey % 200 as u, l_linenumber as ln from lineitem),
+c as (
+  select 'u' || u as url, 'ART_' || (ln % 2) as parent_path,
+         'sec_' || ln as path_key, ln as sibling_order,
+         ln * 10 + ln % 2 as span_start
+  from base
+),
+secs as (
+  select url, parent_path,
+         string_agg('"' || path_key || '"', ',' order by sibling_order, path_key) as sec_arr,
+         min(span_start) as art_start
+  from c group by url, parent_path
+)
+select url,
+       '{' || string_agg('"' || parent_path || '":[' || sec_arr || ']', ','
+                         order by art_start, parent_path, sec_arr) || '}' as toc_json
+from secs group by url
+"""
+
+
+def q_benchmark_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (reference nodes/data_loader.py:26-51): the benchmark
+    validator's sorted-disjoint-spans invariant as a distributed check
+    returning the VIOLATING rows — planted degenerate (1-in-7) and
+    overlapping spans exercise both branches, via the real
+    sources.validate_snippets."""
+    from legal_knowledge_graph_spark.sources.readers import validate_snippets
+
+    snips = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("test_id"),
+        F.concat(F.lit("f"), (F.col("doc_id") % 3).cast("string")).alias("file_path"),
+        F.col("doc_id").alias("snippet_order"),
+        ((F.col("doc_id") * 37) % 1000).alias("span_start"),
+        (
+            (F.col("doc_id") * 37) % 1000
+            + F.when(F.col("doc_id") % 7 == 0, 0).otherwise(20)
+        ).alias("span_end"),
+    )
+    return validate_snippets(snips).select(
+        "test_id", "file_path", "snippet_order", "span_start", "span_end"
+    )
+
+
+SQL_BENCHMARK_VALIDATE = """
+with s as (
+  select doc_id % 50 as test_id, 'f' || (doc_id % 3) as file_path,
+         doc_id as snippet_order, (doc_id * 37) % 1000 as span_start,
+         (doc_id * 37) % 1000
+           + case when doc_id % 7 = 0 then 0 else 20 end as span_end
+  from documents
+),
+w as (
+  select *, lag(span_end) over (
+    partition by test_id, file_path order by snippet_order) as prev_end
+  from s
+)
+select test_id, file_path, snippet_order, span_start, span_end
+from w
+where span_end <= span_start or (prev_end is not null and span_start < prev_end)
+"""
+
+
+def q_tree_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/M3 (reference summarizer.py:104-157): the bottom-up
+    level-loop summarization through the REAL summarize_tree +
+    document_summaries, on a derived 2-level tree whose contents are
+    single sentences — so the extractive first-2-sentences rule is
+    exactly computable in SQL (leaf = own content; parent = first two
+    children in sibling order; document = first two sentences of the
+    articles' summaries in article order)."""
+    from legal_knowledge_graph_spark.operators.summarize import (
+        document_summaries,
+        summarize_tree,
+    )
+
+    base = (
+        _lineitem(spark, sf_dir)
+        .select((F.col("l_orderkey") % 100).alias("u"), F.col("l_linenumber").alias("ln"))
+        .distinct()
+    )
+    leaves = base.select(
+        F.concat(F.lit("u"), F.col("u").cast("string")).alias("url"),
+        F.concat(
+            F.lit("ART_"), (F.col("ln") % 2).cast("string"), F.lit("/s"),
+            F.col("ln").cast("string"),
+        ).alias("path_key"),
+        F.concat(F.lit("ART_"), (F.col("ln") % 2).cast("string")).alias("parent_path"),
+        F.lit(2).alias("depth"),
+        F.col("ln").cast("int").alias("sibling_order"),
+        F.concat(
+            F.lit("leaf "), F.col("u").cast("string"), F.lit(" line "),
+            F.col("ln").cast("string"), F.lit(" ends."),
+        ).alias("content"),
+        F.lit(True).alias("is_leaf"),
+    )
+    parents = (
+        base.select("u", (F.col("ln") % 2).alias("a"))
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("u").cast("string")).alias("url"),
+            F.concat(F.lit("ART_"), F.col("a").cast("string")).alias("path_key"),
+            F.lit(None).cast("string").alias("parent_path"),
+            F.lit(1).alias("depth"),
+            F.col("a").cast("int").alias("sibling_order"),
+            F.lit("").alias("content"),
+            F.lit(False).alias("is_leaf"),
+        )
+    )
+    chunks = leaves.unionByName(parents)
+    summ = summarize_tree(chunks)
+    docsum = document_summaries(summ).select(
+        "url", F.lit("__doc__").alias("path_key"), "summary"
+    )
+    return summ.select("url", "path_key", "summary").unionByName(docsum)
+
+
+SQL_TREE_SUMMARIZE = """
+with base as (select distinct l_orderkey % 100 as u, l_linenumber as ln from lineitem),
+l as (
+  select 'u' || u as url, ln % 2 as art, ln,
+         'leaf ' || u || ' line ' || ln || ' ends.' as content
+  from base
+),
+r as (select *, row_number() over (partition by url, art order by ln) as rn from l),
+leaf_out as (
+  select url, 'ART_' || art || '/s' || ln as path_key, content as summary from l
+),
+par_out as (
+  select url, 'ART_' || art as path_key,
+         string_agg(content, ' ' order by ln) filter (where rn <= 2) as summary
+  from r group by url, art
+),
+doc_pick as (
+  select *, row_number() over (partition by url order by art, rn) as gn
+  from r where rn <= 2
+),
+doc_out as (
+  select url, '__doc__' as path_key,
+         string_agg(content, ' ' order by art, rn) filter (where gn <= 2) as summary
+  from doc_pick group by url
+)
+select url, path_key, summary from leaf_out
+union all select url, path_key, summary from par_out
+union all select url, path_key, summary from doc_out
+"""
+
+
+def q_align_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 verbatim path + M2 proposer (reference chunker.py:93-121,
+    139-148): the REAL fused propose+align stage over constructed
+    ARTICLE/Section bodies. Boundary sentences are verbatim and unique,
+    so the aligner's answer reduces to first-occurrence arithmetic the
+    oracle computes with strpos (the non-verbatim fuzzy tail stays
+    guarded by the difflib-oracle + hypothesis pytests)."""
+    from legal_knowledge_graph_spark.operators.chunker import propose_and_align
+
+    body_sql = (
+        "'intro words here\nARTICLE I.\nSection 1.1 alpha' || doc_id || "
+        "' w1 w2 w3 w4 w5 w6 w7 w8 w9 ending' || doc_id || "
+        "' z.\nSection 1.2 beta' || doc_id || "
+        "' v1 v2 v3 v4 v5 v6 v7 v8 v9 closing' || doc_id || ' q.'"
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), F.expr(body_sql).alias("body")
+    )
+    leaves = propose_and_align(pages)
+    return leaves.select(
+        "url",
+        "path_key",
+        "sibling_order",
+        "span_start",
+        "span_end",
+        F.md5("content").alias("content_md5"),
+    )
+
+
+SQL_ALIGN_SPANS = """
+with d as (
+  select doc_id::varchar as url,
+         'intro words here' || chr(10) || 'ARTICLE I.' || chr(10) ||
+         'Section 1.1 alpha' || doc_id ||
+         ' w1 w2 w3 w4 w5 w6 w7 w8 w9 ending' || doc_id ||
+         ' z.' || chr(10) || 'Section 1.2 beta' || doc_id ||
+         ' v1 v2 v3 v4 v5 v6 v7 v8 v9 closing' || doc_id || ' q.' as body
+  from documents
+),
+spans as (
+  select url, body,
+         strpos(body, 'Section 1.1') - 1 as s1,
+         strpos(body, ' z.') + 2 as e1,
+         strpos(body, 'Section 1.2') - 1 as s2,
+         length(body) as e2
+  from d
+)
+select url, 'ARTICLE_I/section_1_1' as path_key, 0 as sibling_order,
+       s1::bigint as span_start, e1::bigint as span_end,
+       md5(substr(body, s1 + 1, e1 - s1)) as content_md5
+from spans
+union all
+select url, 'ARTICLE_I/section_1_2' as path_key, 1 as sibling_order,
+       s2::bigint as span_start, e2::bigint as span_end,
+       md5(substr(body, s2 + 1, e2 - s2)) as content_md5
+from spans
+"""
+
+
+def q_corpus_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (reference database.py:84-102): the Corpus-node projection
+    rules — name = last url path segment, span = (0, len(text)),
+    summary/TOC attach — through the real materialize.corpus_nodes
+    (node_id/bucket are xxhash64-derived, engine-specific, so the
+    scalar projection is what the oracle checks; id uniqueness is
+    gated by idempotent_ids)."""
+    from legal_knowledge_graph_spark.operators.materialize import corpus_nodes
+
+    url = F.expr("'corpus/doc_' || doc_id")
+    d = _docs(spark, sf_dir)
+    ex = d.select(url.alias("url"), "text")
+    ds = d.select(url.alias("url"), F.substring("text", 1, 30).alias("summary"))
+    toc = d.select(url.alias("url"), F.expr("'{\"a\":' || doc_id || '}'").alias("toc_json"))
+    return corpus_nodes(ex, ds, toc).select(
+        "url",
+        "name",
+        "label",
+        "span_start",
+        "span_end",
+        F.md5("content").alias("content_md5"),
+        "summary",
+        "toc_json",
+        F.col("order").cast("long").alias("node_order"),
+    )
+
+
+SQL_CORPUS_NODES = """
+select 'corpus/doc_' || doc_id as url,
+       'doc_' || doc_id as name,
+       'Corpus' as label,
+       0::bigint as span_start,
+       length(text)::bigint as span_end,
+       md5(text) as content_md5,
+       substr(text, 1, 30) as summary,
+       '{"a":' || doc_id || '}' as toc_json,
+       0::bigint as node_order
+from documents
+"""
+
+
+def q_vector_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (reference database.py:32-38, 153-157, 198-208): the
+    embed-and-attach stage through the real materialize.attach_vectors.
+    Checked properties: the summary-else-content input rule, unit L2
+    norm for any non-blank input (norm_x1000 = 1000), zero vector for
+    blank input (0), and the Entity-label null-vector rule (-1)."""
+    from legal_knowledge_graph_spark.operators.materialize import attach_vectors
+
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("node_id"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("Entity"))
+        .otherwise(F.lit("Chunk"))
+        .alias("label"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("  "))
+        .otherwise(F.substring("text", 1, 40))
+        .alias("summary"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("text")).alias(
+            "content"
+        ),
+        F.lit(None).cast("array<float>").alias("vector"),
+    )
+    av = attach_vectors(nodes, dim=16)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("vector"),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return av.select(
+        "node_id",
+        F.when(F.col("vector").isNull(), F.lit(-1))
+        .otherwise(F.round(norm * 1000))
+        .cast("long")
+        .alias("norm_x1000"),
+    )
+
+
+SQL_VECTOR_ATTACH = """
+with d as (
+  select doc_id,
+         case when doc_id % 3 = 0 then '  ' else substr(text, 1, 40) end as summary,
+         case when doc_id % 5 = 0 then '' else text end as content
+  from documents
+)
+select doc_id as node_id,
+       (case when doc_id % 10 = 0 then -1
+             when length(trim(case when length(trim(summary)) > 0
+                                   then summary else content end)) > 0 then 1000
+             else 0 end)::bigint as norm_x1000
+from d
+"""
+
+
+def q_idempotent_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (vs reference uuid4 at database.py:85,105): deterministic
+    content-derived ids — re-materializing the same inputs twice and
+    deduplicating must collapse to exactly the input count (ids are
+    reproducible AND collision-free on this corpus)."""
+    from legal_knowledge_graph_spark.functions.ids import node_id as mk_id
+
+    one = _docs(spark, sf_dir).select(
+        mk_id(F.expr("'u' || doc_id"), F.lit("Chunk")).alias("node_id")
+    )
+    two = one.unionByName(one)
+    return two.agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.countDistinct("node_id").alias("n_distinct"),
+    )
+
+
+SQL_IDEMPOTENT_IDS = """
+select count(*) * 2 as n_before, count(distinct doc_id) as n_distinct
+from documents
+"""
+
+
+def q_ivf_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF exactness reduction: probing ALL cells (n_probe == n_cells)
+    must equal brute-force top-k — the driver-checkable gate for the
+    IVF path (recall at default n_probe is recorded in BASELINE.md)."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        ivf_assign,
+        ivf_top_k,
+        train_ivf_centroids,
+    )
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    q = [float(x) for x in embs.where("vid = 11").first()["embedding"]]
+    cents = train_ivf_centroids(embs, "embedding", k=8)
+    indexed = ivf_assign(embs, "embedding", cents)
+    return ivf_top_k(
+        indexed, "vid", "embedding", q, cents, k=10, n_probe=len(cents)
+    ).select("id", "rank")
+
+
+SQL_IVF_ANN_EXACT = """
+with q as (select embedding::double[] as qv from embeddings where vec_id::bigint = 11)
+select vec_id::bigint as id,
+       row_number() over (
+         order by list_cosine_similarity(embedding::double[], (select qv from q)) desc,
+                  vec_id::bigint
+       )::int as rank
+from embeddings
+order by rank limit 10
+"""
+
+
+def q_lsh_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH exactness reduction: with zero hyperplanes every
+    vector lands in bucket 0 and the probe degenerates to brute force —
+    the driver-checkable gate for the LSH path."""
+    from legal_knowledge_graph_spark.operators.similarity import lsh_top_k
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    first = embs.where("vid = 13").first()
+    q = [float(x) for x in first["embedding"]]
+    return lsh_top_k(embs, "vid", "embedding", q, dim=len(q), k=10, n_planes=0).select(
+        "id", "rank"
+    )
+
+
+SQL_LSH_ANN_EXACT = """
+with q as (select embedding::double[] as qv from embeddings where vec_id::bigint = 13)
+select vec_id::bigint as id,
+       row_number() over (
+         order by list_cosine_similarity(embedding::double[], (select qv from q)) desc,
+                  vec_id::bigint
+       )::int as rank
+from embeddings
+order by rank limit 10
+"""
+
+
+QUERIES.update(
+    {
+        "search_corpus": q_search_corpus,
+        "corpus_toc": q_corpus_toc,
+        "toc_reshape": q_toc_reshape,
+        "benchmark_validate": q_benchmark_validate,
+        "tree_summarize": q_tree_summarize,
+        "align_spans": q_align_spans,
+        "corpus_nodes": q_corpus_nodes,
+        "vector_attach": q_vector_attach,
+        "idempotent_ids": q_idempotent_ids,
+        "ivf_ann_exact": q_ivf_ann_exact,
+        "lsh_ann_exact": q_lsh_ann_exact,
+    }
+)
+ORACLES.update(
+    {
+        "search_corpus": SQL_SEARCH_CORPUS,
+        "corpus_toc": SQL_CORPUS_TOC,
+        "toc_reshape": SQL_TOC_RESHAPE,
+        "benchmark_validate": SQL_BENCHMARK_VALIDATE,
+        "tree_summarize": SQL_TREE_SUMMARIZE,
+        "align_spans": SQL_ALIGN_SPANS,
+        "corpus_nodes": SQL_CORPUS_NODES,
+        "vector_attach": SQL_VECTOR_ATTACH,
+        "idempotent_ids": SQL_IDEMPOTENT_IDS,
+        "ivf_ann_exact": SQL_IVF_ANN_EXACT,
+        "lsh_ann_exact": SQL_LSH_ANN_EXACT,
+    }
+)
+# Still pytest-only, with reasons: S4/S5 resume (filesystem snapshot
+# protocol — no SQL analogue; test_pipeline.py::test_pipeline_resume +
+# crash-consistency test), M4 sequential structure detector (carried
+# cross-page state — inherently order-dependent; test_parse_structure),
+# F1 non-verbatim fuzzy tail (difflib-oracle + hypothesis property
+# tests), streaming twins (stream==batch pytest equivalence).

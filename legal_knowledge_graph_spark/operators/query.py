@@ -94,28 +94,37 @@ def search_children(
     query_vector: list[float],
     top_k: int = DEFAULT_TOP_K,
     threshold: float = DEFAULT_THRESHOLD,
+    sub_variant: bool = False,
 ) -> DataFrame:
     """Q3 (tools/search_chunk.py:35-46): 1-hop CHILD expansion from
     ``parent_id``, cosine-scored against ``query_vector``, score >
     threshold, top-k. Returns (node_id, name, text, score) where text
-    follows the summary-else-content rule (search_chunk.py:42)."""
+    follows the summary-else-content rule (search_chunk.py:42).
+
+    ``sub_variant=True`` reproduces SearchSubComponentTool
+    (search_chunk.py:108-118) exactly, including its quirk: the Cypher
+    returns ``c.leaf`` — a property the write path never sets — so the
+    ``leaf`` column is always null by construction."""
     kids = edges.where(
         (F.col("type") == "CHILD") & (F.col("src_id") == parent_id)
     ).select(F.col("dst_id").alias("node_id"))
     qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    cols = [
+        F.col("node_id"),
+        F.col("name"),
+        summary_else_content(
+            F.coalesce("summary", F.lit("")), F.coalesce("content", F.lit(""))
+        ).alias("text"),
+        F.col("score"),
+    ]
+    if sub_variant:
+        cols.append(F.lit(None).cast("boolean").alias("leaf"))
     return (
         nodes.join(kids, "node_id")
         .where(F.col("vector").isNotNull())
         .withColumn("score", cosine(F.col("vector"), qv))
         .where(F.col("score") > threshold)
-        .select(
-            "node_id",
-            "name",
-            summary_else_content(
-                F.coalesce("summary", F.lit("")), F.coalesce("content", F.lit(""))
-            ).alias("text"),
-            "score",
-        )
+        .select(*cols)
         .orderBy(F.desc("score"), "node_id")
         .limit(top_k)
     )

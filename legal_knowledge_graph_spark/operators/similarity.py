@@ -105,10 +105,19 @@ def lsh_top_k(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    multi_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket. At scale
-    the bucketed table is written partitioned by ``lsh_bucket`` so this
-    prunes the scan to ~1/2^planes of the data."""
+    """Approximate top-k with **multi-probe**: scan the query's LSH
+    bucket plus every bucket within Hamming distance ``multi_probe``
+    of it (the standard multi-probe LSH recipe — a vector whose sign
+    differs on one near-zero projection lands one bit-flip away). At
+    ``multi_probe=1`` that is ``n_planes + 1`` of the ``2^n_planes``
+    buckets — e.g. 9/256 of the data at 8 planes — which multiplies
+    recall several-fold over the single-bucket probe for a ~9x smaller
+    scan than brute force. At scale the bucketed table is written
+    partitioned by ``lsh_bucket`` so the probe set prunes the scan."""
+    import itertools
+
     import numpy as np
 
     qv = np.asarray(query_vector, dtype="float64")
@@ -116,9 +125,20 @@ def lsh_top_k(
     for p in range(n_planes):
         if float(np.dot(qv, np.asarray(_hyperplane(dim, p)))) >= 0:
             qbucket += 2**p
+    probes = {qbucket}
+    for r in range(1, multi_probe + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            b = qbucket
+            for p in flips:
+                b ^= 1 << p
+            probes.add(b)
     bucketed = lsh_bucket(vectors, vec_col, dim, n_planes)
     return brute_force_top_k(
-        bucketed.where(F.col("lsh_bucket") == qbucket), id_col, vec_col, query_vector, k
+        bucketed.where(F.col("lsh_bucket").isin(sorted(probes))),
+        id_col,
+        vec_col,
+        query_vector,
+        k,
     )
 
 

@@ -112,6 +112,44 @@ def test_pipeline_resume(spark, tmp_path):
     )
 
 
+def test_resume_survives_mid_write_kill(spark, tmp_path):
+    """Crash-consistency of the _SUCCESS-marker commit protocol: a
+    stage directory left by a KILLED write (partial/corrupt parquet
+    files, NO _SUCCESS) must be treated as uncommitted — recomputed and
+    overwritten — and the final tables must equal a clean run's."""
+    import os
+
+    wd = str(tmp_path / "crash")
+    pages = generate_pages(spark, 40)
+    out1 = run_pipeline(spark, pages, wd)
+    fp_nodes = _table_fingerprint(out1["nodes"])
+    fp_edges = _table_fingerprint(out1["edges"])
+
+    # simulate a kill DURING the chunks_summarized write: drop the
+    # commit marker, corrupt one data file, truncate another, and lose
+    # everything downstream
+    stage_dir = f"{wd}/chunks_summarized"
+    os.remove(f"{stage_dir}/_SUCCESS")
+    parts = sorted(glob.glob(f"{stage_dir}/part-*.parquet"))
+    assert parts, "expected parquet part files"
+    with open(parts[0], "wb") as f:
+        f.write(b"\x00garbage not parquet\x00")
+    if len(parts) > 1:
+        with open(parts[1], "ab") as f:
+            f.truncate(max(os.path.getsize(parts[1]) // 2, 1))
+    for stage in ("nodes", "edges"):
+        shutil.rmtree(f"{wd}/{stage}", ignore_errors=True)
+
+    out2 = run_pipeline(spark, pages, wd)
+    assert tuple(_table_fingerprint(out2["nodes"])) == tuple(fp_nodes)
+    assert tuple(_table_fingerprint(out2["edges"])) == tuple(fp_edges)
+    # the killed stage was re-committed: marker restored, files readable
+    assert os.path.exists(f"{stage_dir}/_SUCCESS")
+    assert tuple(_table_fingerprint(spark.read.parquet(stage_dir))) == tuple(
+        _table_fingerprint(out2["chunks_summarized"])
+    )
+
+
 def test_checkpoint_files_bucketed(spark, tmp_path):
     wd = str(tmp_path / "bk")
     run_pipeline(spark, generate_pages(spark, 30), wd)

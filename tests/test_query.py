@@ -77,6 +77,15 @@ def test_q3_topk_cosine_retrieval(graph):
     scores = [r["score"] for r in res]
     assert scores == sorted(scores, reverse=True)
 
+    # Sub-variant quirk parity (reference search_chunk.py:108-118):
+    # returns a `leaf` column that is ALWAYS null (the property is
+    # never written by the reference's write path).
+    sub = search_children(
+        nodes, edges, art["node_id"], qvec, top_k=3, sub_variant=True
+    ).collect()
+    assert [r["node_id"] for r in sub] == [r["node_id"] for r in res]
+    assert all(r["leaf"] is None for r in sub)
+
 
 def test_q4_neighbors(graph):
     nodes, edges = graph["nodes"], graph["edges"]
