@@ -1691,6 +1691,131 @@ ORACLES.update(
         "lsh_ann_exact": SQL_LSH_ANN_EXACT,
     }
 )
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization, batch twin (streaming/sessions.py:114):
+    gap-and-island session assignment over the events table — the
+    DuckDB oracle is the classic windowed gaps-and-islands SQL. The
+    applyInPandasWithState streaming twin is asserted equal to this
+    batch result by tests/test_sessions.py."""
+    from legal_knowledge_graph_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_batch(ev, gap_seconds=1800.0)
+    return s.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_events",
+        "value_sum_x100",
+    )
+
+
+SQL_SESSIONIZE = """
+with p as (
+  -- floor() mirrors Spark unix_timestamp's whole-second truncation
+  -- (DuckDB epoch() keeps fractional seconds and ::bigint ROUNDS)
+  select user_id, floor(epoch(ts))::double as ts_sec,
+         floor(value * 100)::bigint as vx100
+  from events
+),
+w as (
+  select *, lag(ts_sec) over (partition by user_id order by ts_sec) as prev_ts
+  from p
+),
+m as (
+  select *, case when prev_ts is null or ts_sec - prev_ts > 1800
+                 then 1 else 0 end as ns
+  from w
+),
+s as (
+  select *, sum(ns) over (
+    partition by user_id order by ts_sec
+    rows between unbounded preceding and current row) as session_idx
+  from m
+)
+select user_id, session_idx::bigint as session_idx,
+       min(ts_sec)::bigint as session_start,
+       max(ts_sec)::bigint as session_end,
+       count(*)::bigint as n_events,
+       sum(vx100)::bigint as value_sum_x100
+from s group by user_id, session_idx
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1->N fan-out (operators/multimodal.frame_sample): the
+    deterministic byte-stride frame slicer over binary blobs. The docs
+    corpus is ASCII, so frame bytes == text substrings and the oracle
+    md5s the same slices."""
+    from legal_knowledge_graph_spark.operators.multimodal import frame_sample
+
+    d = _docs(spark, sf_dir).withColumn("blob", F.encode("text", "utf-8"))
+    fs = frame_sample(d, "doc_id", "blob", stride=64, frame_bytes=32, max_frames=4)
+    return fs.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
+SQL_FRAME_SAMPLE = """
+with d as (select doc_id, text, length(text) as n from documents),
+f as (
+  select doc_id, text,
+         unnest(generate_series(
+           0, least(4, greatest(n - 32, 0) // 64 + 1) - 1)) as frame_idx
+  from d
+)
+select doc_id, frame_idx::int as frame_idx,
+       md5(substr(text, frame_idx * 64 + 1, 32)) as frame_md5
+from f
+"""
+
+
+def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query exact top-k (operators/similarity.batch_top_k): the
+    broadcast-queries x scan-once path, per-query window top-k — the
+    vector table never shuffles (plan-asserted in test_plans.py)."""
+    from legal_knowledge_graph_spark.operators.similarity import batch_top_k
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    queries = embs.where("vid in (3, 21, 77)").select(
+        F.col("vid").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return batch_top_k(embs, queries, "vid", "embedding", "qid", "qv", k=5).select(
+        "qid", "id", "rank"
+    )
+
+
+SQL_BATCH_TOPK = """
+with q as (
+  select vec_id::bigint as qid, embedding::double[] as qv
+  from embeddings where vec_id::bigint in (3, 21, 77)
+),
+s as (
+  select q.qid, e.vec_id::bigint as id,
+         row_number() over (
+           partition by q.qid
+           order by list_cosine_similarity(e.embedding::double[], q.qv) desc,
+                    e.vec_id::bigint
+         )::int as rank
+  from embeddings e cross join q
+)
+select qid, id, rank from s where rank <= 5
+"""
+
+
+QUERIES.update(
+    {
+        "sessionize": q_sessionize,
+        "frame_sample": q_frame_sample,
+        "batch_topk": q_batch_topk,
+    }
+)
+ORACLES.update(
+    {
+        "sessionize": SQL_SESSIONIZE,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        "batch_topk": SQL_BATCH_TOPK,
+    }
+)
 # Still pytest-only, with reasons: S4/S5 resume (filesystem snapshot
 # protocol — no SQL analogue; test_pipeline.py::test_pipeline_resume +
 # crash-consistency test), M4 sequential structure detector (carried

@@ -196,11 +196,13 @@ def jaccard_verify_bitset(
     (bounded by construction), then the distinct doc count is measured
     with one cheap aggregate and the **product** ``n_docs * mask_bytes``
     is checked against ``max_mask_bytes`` (dim-aware: 256 MB default)
-    before any mask is built. Masks are built per-doc with
-    ``applyInPandas`` grouped by doc_id, so the collect is exactly
-    ``n_docs`` rows — never per-partition-inflated. Returns None when
-    any bound is exceeded (caller falls back to the shuffle-join
-    :func:`jaccard_verify`, which is the 100-TB-scale path).
+    before any mask is built. Mask construction is two-phase: partial
+    masks per input partition (numpy-vectorized bit-sets, NO shuffle of
+    the gram table) then an OR-merge grouped by doc — only the small
+    masks shuffle (n_docs * nbytes, ~5-10x less than the gram rows),
+    and the collect is exactly ``n_docs`` rows, the product checked
+    above. Returns None when any bound is exceeded (caller falls back
+    to the shuffle-join :func:`jaccard_verify`, the 100-TB-scale path).
     """
     from typing import Iterator
 
@@ -231,20 +233,65 @@ def jaccard_verify_bitset(
         ]
     )
 
-    def build_mask(pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = b_idx.value
-        m = np.zeros(nbytes, dtype=np.uint8)
-        for g in pdf["gram"]:
-            i = idx[g]
-            m[i >> 3] |= 1 << (i & 7)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = pdf["gram"].map(idx).to_numpy(dtype="int64")
+            docs = pdf["doc_id"].to_numpy()
+            order = np.argsort(docs, kind="stable")
+            docs_s, codes_s = docs[order], codes[order]
+            bounds = np.flatnonzero(np.r_[True, docs_s[1:] != docs_s[:-1]])
+            out_docs, out_masks = [], []
+            for i, start in enumerate(bounds):
+                end = bounds[i + 1] if i + 1 < len(bounds) else len(docs_s)
+                m = np.zeros(nbytes, dtype=np.uint8)
+                c = codes_s[start:end]
+                np.bitwise_or.at(m, c >> 3, (1 << (c & 7)).astype(np.uint8))
+                out_docs.append(docs_s[start])
+                out_masks.append(m.tobytes())
+            yield pd.DataFrame({"doc_id": out_docs, "mask": out_masks})
+
+    def merge_masks(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in pdf["mask"]]
+        )
+        m = np.bitwise_or.reduce(arrs, axis=0)
         return pd.DataFrame({"doc_id": pdf["doc_id"].iloc[:1], "mask": [m.tobytes()]})
 
-    # exactly one mask row per doc (grouped), so the collect moves
-    # n_docs * nbytes bytes — the product checked above.
-    mask_rows = sh.groupBy("doc_id").applyInPandas(build_mask, mask_schema).collect()
-    masks = {r["doc_id"]: np.frombuffer(r["mask"], dtype=np.uint8) for r in mask_rows}
-    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
-    b_masks = spark.sparkContext.broadcast(masks)
+    mask_rows = (
+        sh.mapInPandas(build_partials, mask_schema)
+        .groupBy("doc_id")
+        .applyInPandas(merge_masks, mask_schema)
+        .collect()
+    )
+    # ONE contiguous (n_docs x words) uint64 matrix + id->row map:
+    # per-batch mask gathers become fancy indexing (no per-row dict
+    # lookups / np.stack), and popcount runs SWAR on uint64 words —
+    # 8x fewer elements than a uint8 table gather.
+    nwords = (nbytes + 7) // 8
+    M = np.zeros((len(mask_rows), nwords * 8), dtype=np.uint8)
+    row_of = {}
+    for i, r in enumerate(mask_rows):
+        m = np.frombuffer(r["mask"], dtype=np.uint8)
+        M[i, : len(m)] = m
+        row_of[r["doc_id"]] = i
+    M64 = M.view(np.uint64)
+    b_M = spark.sparkContext.broadcast(M64)
+    b_row = spark.sparkContext.broadcast(row_of)
+
+    c55 = np.uint64(0x5555555555555555)
+    c33 = np.uint64(0x3333333333333333)
+    c0F = np.uint64(0x0F0F0F0F0F0F0F0F)
+    c01 = np.uint64(0x0101010101010101)
+    one, two, four, s56 = np.uint64(1), np.uint64(2), np.uint64(4), np.uint64(56)
+
+    def _popcount_rows(x: "np.ndarray") -> "np.ndarray":
+        x = x - ((x >> one) & c55)
+        x = (x & c33) + ((x >> two) & c33)
+        x = (x + (x >> four)) & c0F
+        return ((x * c01) >> s56).sum(axis=1).astype("int64")
 
     out_schema = T.StructType(
         [
@@ -256,15 +303,16 @@ def jaccard_verify_bitset(
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mk = b_masks.value
+        MM, rowof = b_M.value, b_row.value
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["doc_a", "doc_b", "inter_size", "union_size"])
                 continue
-            A = np.stack([mk[d] for d in pdf["doc_a"]])
-            B = np.stack([mk[d] for d in pdf["doc_b"]])
-            inter = pop[A & B].sum(axis=1).astype("int64")
-            union = pop[A | B].sum(axis=1).astype("int64")
+            ia = pdf["doc_a"].map(rowof).to_numpy(dtype="int64")
+            ib = pdf["doc_b"].map(rowof).to_numpy(dtype="int64")
+            A, B = MM[ia], MM[ib]
+            inter = _popcount_rows(A & B)
+            union = _popcount_rows(A | B)
             yield pd.DataFrame(
                 {
                     "doc_a": pdf["doc_a"],
