@@ -1802,11 +1802,117 @@ select qid, id, rank from s where rank <= 5
 """
 
 
+def q_benchmark_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 benchmark summary (reference run_benchmark.py:132-135):
+    average precision / average recall over all queries — the
+    summary.json the reference emits, on top of the span-overlap P/R
+    harness."""
+    from legal_knowledge_graph_spark.operators.query import span_overlap_pr
+
+    li = _lineitem(spark, sf_dir)
+    retrieved = li.where("l_linenumber = 1").select(
+        (F.col("l_orderkey") % 100).alias("query_id"),
+        F.lit("u").alias("url"),
+        (F.col("l_partkey") % 1000).alias("span_start"),
+        (F.col("l_partkey") % 1000 + 50).alias("span_end"),
+    )
+    golden = li.where("l_linenumber = 2").select(
+        (F.col("l_orderkey") % 100).alias("query_id"),
+        F.lit("u").alias("url"),
+        (F.col("l_partkey") % 1000).alias("span_start"),
+        (F.col("l_partkey") % 1000 + 50).alias("span_end"),
+    )
+    pr = span_overlap_pr(retrieved, golden)
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("precision"), 6).alias("average_precision"),
+        F.round(F.avg("recall"), 6).alias("average_recall"),
+    )
+
+
+SQL_BENCHMARK_SUMMARY = """
+with r as (
+  select l_orderkey % 100 as query_id, 'u' as url,
+         l_partkey % 1000 as rs, l_partkey % 1000 + 50 as re
+  from lineitem where l_linenumber = 1
+),
+g as (
+  select l_orderkey % 100 as query_id, 'u' as url,
+         l_partkey % 1000 as gs, l_partkey % 1000 + 50 as ge
+  from lineitem where l_linenumber = 2
+),
+ov as (
+  select r.query_id, sum(greatest(0, least(re, ge) - greatest(rs, gs))) as overlap
+  from r join g on r.query_id = g.query_id and r.url = g.url
+  group by r.query_id
+),
+rl as (select query_id, sum(re - rs) as rlen from r group by query_id),
+gl as (select query_id, sum(ge - gs) as glen from g group by query_id),
+pr as (
+  select coalesce(rl.query_id, gl.query_id) as query_id,
+         coalesce(overlap, 0) / greatest(rlen, 1) as precision,
+         coalesce(overlap, 0) / greatest(glen, 1) as recall
+  from rl full outer join gl on rl.query_id = gl.query_id
+  left join ov on ov.query_id = coalesce(rl.query_id, gl.query_id)
+)
+select count(*)::bigint as n_queries,
+       round(avg(precision), 6) as average_precision,
+       round(avg(recall), 6) as average_recall
+from pr
+"""
+
+
+def q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 html->text decode (sources.html_to_text, the input_hint's
+    html binary column path): script/style dropped, tags stripped,
+    entities unescaped, whitespace collapsed — on a derived html
+    wrapping of the docs corpus. The oracle mirrors each regex pass
+    (RE2 has no backreferences, so the script|style alternation is
+    written out explicitly)."""
+    from legal_knowledge_graph_spark.sources.readers import html_to_text
+
+    html = F.expr(
+        "'<html><head><script a=1>var x=2;</script>"
+        "<style>.c{color:red}</style></head><body><h1>T' || doc_id || "
+        "'</h1><p>' || text || ' &amp; more &lt;stuff&gt;</p></body></html>'"
+    )
+    d = _docs(spark, sf_dir).withColumn("blob", F.encode(html, "utf-8"))
+    return d.select("doc_id", html_to_text(F.col("blob")).alias("text_out"))
+
+
+SQL_HTML_DECODE = """
+with h as (
+  select doc_id,
+         '<html><head><script a=1>var x=2;</script>'
+         || '<style>.c{color:red}</style></head><body><h1>T' || doc_id
+         || '</h1><p>' || text || ' &amp; more &lt;stuff&gt;</p></body></html>'
+           as html
+  from documents
+),
+a as (
+  select doc_id, regexp_replace(html,
+    '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gs') as t
+  from h
+),
+b as (select doc_id, regexp_replace(t, '<[^>]+>', ' ', 'gs') as t from a),
+c as (
+  select doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' ') as t
+  from b
+)
+select doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) as text_out from c
+"""
+
+
 QUERIES.update(
     {
         "sessionize": q_sessionize,
         "frame_sample": q_frame_sample,
         "batch_topk": q_batch_topk,
+        "benchmark_summary": q_benchmark_summary,
+        "html_decode": q_html_decode,
     }
 )
 ORACLES.update(
@@ -1814,6 +1920,8 @@ ORACLES.update(
         "sessionize": SQL_SESSIONIZE,
         "frame_sample": SQL_FRAME_SAMPLE,
         "batch_topk": SQL_BATCH_TOPK,
+        "benchmark_summary": SQL_BENCHMARK_SUMMARY,
+        "html_decode": SQL_HTML_DECODE,
     }
 )
 # Still pytest-only, with reasons: S4/S5 resume (filesystem snapshot
