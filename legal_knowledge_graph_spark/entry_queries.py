@@ -1906,6 +1906,50 @@ select doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) as text_out from c
 """
 
 
+def q_toc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 read-side parity (reference get_corpus_toc.py:37-121): the
+    quirk-exact TOC->components reshape over six stored-TOC shape
+    variants (article-with-sections, bogus sections, article-as-string,
+    non-article dict, non-article string, unparseable raw), via the
+    real operators.query.reshape_toc."""
+    from legal_knowledge_graph_spark.operators.query import reshape_toc
+
+    toc = F.expr(
+        "case cast(doc_id % 6 as int) "
+        "when 0 then '{\"Article_1\":{\"name\":\"N' || doc_id || "
+        "'\",\"sections\":{\"s1\":\"d1\",\"s2\":\"d2\"}}}' "
+        "when 1 then '{\"ARTICLE_2\":{\"sections\":\"bogus\"}}' "
+        "when 2 then '{\"article_3\":\"plain\"}' "
+        "when 3 then '{\"Exhibits\":{\"name\":\"Ex' || doc_id || "
+        "'\",\"a\":\"da\",\"b\":{\"name\":\"db\"},\"c\":5}}' "
+        "when 4 then '{\"Annex_A\":\"desc' || doc_id || '\"}' "
+        "else 'not json {' end"
+    )
+    nodes = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("node_id"), toc.alias("toc_json")
+    )
+    return reshape_toc(nodes).select("node_id", "components_json")
+
+
+SQL_TOC_COMPONENTS = """
+select doc_id as node_id,
+  case doc_id % 6
+  when 0 then '[{"component_name":"Article_1","component_description":"N' || doc_id
+    || '","childs":[{"component_name":"s1","component_description":"d1","childs":[]},'
+    || '{"component_name":"s2","component_description":"d2","childs":[]}]}]'
+  when 1 then '[{"component_name":"ARTICLE_2","component_description":null,"childs":[]}]'
+  when 2 then '[{"component_name":"article_3","component_description":null,"childs":[]}]'
+  when 3 then '[{"component_name":"Exhibits","component_description":"Ex' || doc_id
+    || '","childs":[{"component_name":"a","component_description":"da","childs":[]},'
+    || '{"component_name":"b","component_description":"db","childs":[]},'
+    || '{"component_name":"c","component_description":null,"childs":[]}]}]'
+  when 4 then '[{"component_name":"Annex_A","component_description":"desc' || doc_id
+    || '","childs":[]}]'
+  else '[]' end as components_json
+from documents
+"""
+
+
 QUERIES.update(
     {
         "sessionize": q_sessionize,
@@ -1913,6 +1957,7 @@ QUERIES.update(
         "batch_topk": q_batch_topk,
         "benchmark_summary": q_benchmark_summary,
         "html_decode": q_html_decode,
+        "toc_components": q_toc_components,
     }
 )
 ORACLES.update(
@@ -1922,6 +1967,7 @@ ORACLES.update(
         "batch_topk": SQL_BATCH_TOPK,
         "benchmark_summary": SQL_BENCHMARK_SUMMARY,
         "html_decode": SQL_HTML_DECODE,
+        "toc_components": SQL_TOC_COMPONENTS,
     }
 )
 # Still pytest-only, with reasons: S4/S5 resume (filesystem snapshot

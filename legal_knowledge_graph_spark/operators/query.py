@@ -87,6 +87,37 @@ def get_corpus_toc(nodes: DataFrame, corpus_id: int) -> DataFrame:
     ).select("node_id", "toc_json")
 
 
+def reshape_toc(df: DataFrame, toc_col: str = "toc_json") -> DataFrame:
+    """Q2 read side, full parity (tools/get_corpus_toc.py:37-121): the
+    stored TOC JSON string reshaped into the components schema
+    ``[{component_name, component_description, childs}]``, re-emitted
+    as a compact JSON string column ``components_json``. Arrow-batched
+    map stage (the reshape is quirky dict logic, not SQL — see
+    functions/parse.toc_to_components for the branch-by-branch
+    reproduction)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from legal_knowledge_graph_spark.functions.parse import reshape_toc_json
+
+    keep = [c for c in df.columns if c != toc_col]
+    schema = T.StructType(
+        [df.schema[k] for k in keep]
+        + [T.StructField("components_json", T.StringType(), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["components_json"] = pdf[toc_col].map(reshape_toc_json)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def search_children(
     nodes: DataFrame,
     edges: DataFrame,

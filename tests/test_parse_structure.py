@@ -54,3 +54,69 @@ def test_detect_structure_sequential(spark):
 
     b_keys = {r["entry_key"] for r in by_doc["b"]}
     assert b_keys == {"Section 9.9"}
+
+
+def test_toc_to_components_reference_quirks():
+    """Branch-by-branch goldens vs the reference reshape
+    (tools/get_corpus_toc.py:37-101)."""
+    from legal_knowledge_graph_spark.functions.parse import (
+        reshape_toc_json,
+        toc_to_components,
+    )
+
+    # pass-through: list of dicts ALL carrying component_name
+    done = [{"component_name": "X", "component_description": None, "childs": []}]
+    assert toc_to_components(done) is done
+    # non-dict toc (incl. a list WITHOUT the marker) -> []
+    assert toc_to_components("str") == []
+    assert toc_to_components(3) == []
+    assert toc_to_components([{"no_marker": 1}]) == []
+    # article branch: dict value -> name + sections; non-str section
+    # descriptions become None
+    assert toc_to_components(
+        {"Article_1": {"name": "First", "sections": {"s1": "d1", "s2": {"x": 1}}}}
+    ) == [
+        {
+            "component_name": "Article_1",
+            "component_description": "First",
+            "childs": [
+                {"component_name": "s1", "component_description": "d1", "childs": []},
+                {"component_name": "s2", "component_description": None, "childs": []},
+            ],
+        }
+    ]
+    # article: non-dict sections coerced to {}
+    assert toc_to_components({"ARTICLE_2": {"sections": "bogus"}}) == [
+        {"component_name": "ARTICLE_2", "component_description": None, "childs": []}
+    ]
+    # article: str value -> no name, no sections
+    assert toc_to_components({"article_3": "juststr"}) == [
+        {"component_name": "article_3", "component_description": None, "childs": []}
+    ]
+    # non-article dict: name extracted, non-name keys become children
+    # (str -> itself, dict -> .get("name"), other -> None)
+    assert toc_to_components(
+        {"Exhibits": {"name": "Ex", "a": "da", "b": {"name": "db"}, "c": 5}}
+    ) == [
+        {
+            "component_name": "Exhibits",
+            "component_description": "Ex",
+            "childs": [
+                {"component_name": "a", "component_description": "da", "childs": []},
+                {"component_name": "b", "component_description": "db", "childs": []},
+                {"component_name": "c", "component_description": None, "childs": []},
+            ],
+        }
+    ]
+    # non-article str value -> it IS the description
+    assert toc_to_components({"Annex_A": "descA"}) == [
+        {"component_name": "Annex_A", "component_description": "descA", "childs": []}
+    ]
+    # non-str top key: stringified only for the article check, kept
+    # verbatim as component_name (reference :46)
+    assert toc_to_components({1: "x"}) == [
+        {"component_name": 1, "component_description": "x", "childs": []}
+    ]
+    # unparseable stored string stays a raw str -> reshapes to []
+    # (get_corpus_toc.py:112-117)
+    assert reshape_toc_json("not json {") == "[]"
