@@ -1802,6 +1802,67 @@ select qid, id, rank from s where rank <= 5
 """
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-near pair search over a corpus with 80 planted
+    near-duplicates (first token replaced): pigeonhole banding + native
+    bit_count(xor) verify — the full-algorithm oracle reproduces the
+    fingerprints, banding, cap, and Hamming filter bit-identically."""
+    from legal_knowledge_graph_spark.operators.dedup import simhash_near_duplicates
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.where("doc_id < 80").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    return simhash_near_duplicates(
+        d.unionByName(mut), "doc_id", "text", max_hamming=3
+    ).select("doc_a", "doc_b", "hamming")
+
+
+SQL_SIMHASH_NEAR_DUP = """
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, regexp_replace(text, '^\\S+', 'zzz')
+  from documents where doc_id < 80
+),
+toks as (
+  select doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) as tok
+  from corpus where length(trim(text)) > 0
+),
+bits as (
+  select doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint as h
+  from toks where length(tok) > 0
+),
+sums as (
+  select doc_id, i, sum(case when (h >> i) & 1 = 1 then 1 else -1 end) as s
+  from bits, generate_series(0, 31) as t(i)
+  group by doc_id, i
+),
+fp as (
+  select doc_id, sum(case when s > 0 then 1::bigint << i else 0 end)::bigint as sh
+  from sums group by doc_id
+),
+banded as (
+  select doc_id, b * 256 + ((sh >> (b * 8)) & 255) as band_key
+  from fp, generate_series(0, 3) as g(b)
+),
+bsz as (select band_key, count(*) as bs from banded group by band_key),
+capped as (
+  select doc_id, band_key from banded join bsz using (band_key) where bs <= 1000
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from capped a join capped b using (band_key) where a.doc_id < b.doc_id
+)
+select c.doc_a, c.doc_b, bit_count(xor(fa.sh, fb.sh))::int as hamming
+from cand c
+join fp fa on fa.doc_id = c.doc_a
+join fp fb on fb.doc_id = c.doc_b
+where bit_count(xor(fa.sh, fb.sh)) <= 3
+"""
+
+
 def q_benchmark_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 benchmark summary (reference run_benchmark.py:132-135):
     average precision / average recall over all queries — the
@@ -1958,6 +2019,7 @@ QUERIES.update(
         "benchmark_summary": q_benchmark_summary,
         "html_decode": q_html_decode,
         "toc_components": q_toc_components,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 )
 ORACLES.update(
@@ -1968,6 +2030,7 @@ ORACLES.update(
         "benchmark_summary": SQL_BENCHMARK_SUMMARY,
         "html_decode": SQL_HTML_DECODE,
         "toc_components": SQL_TOC_COMPONENTS,
+        "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
     }
 )
 # Still pytest-only, with reasons: S4/S5 resume (filesystem snapshot

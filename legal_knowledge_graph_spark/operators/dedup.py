@@ -429,6 +429,64 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Hamming-near SimHash pairs: (doc_a, doc_b, hamming) with
+    hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Banding by the pigeonhole principle: split the 32-bit fingerprint
+    into ``bands`` contiguous bit-bands — any pair within Hamming
+    distance ``bands - 1`` agrees EXACTLY on at least one band, so the
+    band-value bucket join finds every qualifying pair (lossless for
+    ``max_hamming <= bands - 1``; the default 3 <= 4-1 qualifies).
+    Entirely native expressions (shift/mask band keys, bit_count(xor)
+    verify) — no Python anywhere; buckets above ``max_block`` are
+    excluded like the other LSH tiers (a degenerate all-same-band
+    corpus would otherwise emit B^2 pairs).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole soundness needs max_hamming <= bands - 1")
+    rpb = SIMHASH_BITS // bands
+    fps = simhash(df, id_col, text_col)
+    band_keys = [
+        (
+            F.lit(b * (1 << rpb))
+            + F.shiftright(F.col("simhash"), b * rpb).bitwiseAND(F.lit((1 << rpb) - 1))
+        ).cast("long")
+        for b in range(bands)
+    ]
+    banded = fps.select(
+        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    )
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
+    a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

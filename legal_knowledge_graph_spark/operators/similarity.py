@@ -151,6 +151,7 @@ def train_ivf_centroids(
     k: int = 64,
     iterations: int = 4,
     sample_limit: int = 100_000,
+    max_sample_bytes: int = 1 << 28,
 ) -> list[list[float]]:
     """Deterministic mini-Lloyd's on a hash-ordered sample.
 
@@ -159,13 +160,25 @@ def train_ivf_centroids(
     and recomputes means — all in numpy on the driver over a bounded
     sample (the standard IVF recipe: training is sampled, ASSIGNMENT is
     distributed). Returns unit-norm centroids.
+
+    The sample cap is **dim-aware**: the row budget is
+    ``min(sample_limit, max_sample_bytes / (dim * 8))`` so a 3072-dim
+    corpus trains on ~10k vectors under the 256 MB default instead of
+    pulling 2.4 GB through the driver — Lloyd's needs ~100x k points,
+    not 100k unconditionally. The orderBy+limit plans as
+    TakeOrderedAndProject (top-k by hash), never a full sort.
     """
     import numpy as np
 
+    head = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    if head is None:
+        return []
+    dim = max(int(head["d"]), 1)
+    cap = max(min(sample_limit, max_sample_bytes // (dim * 8)), k)
     sample = (
         vectors.select(F.md5(F.col(vec_col).cast("string")).alias("_k"), vec_col)
         .orderBy("_k")
-        .limit(sample_limit)
+        .limit(cap)
         .collect()
     )
     X = np.array([r[vec_col] for r in sample], dtype="float64")

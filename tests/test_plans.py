@@ -112,6 +112,38 @@ def test_split_stays_in_codegen(spark, pages_path):
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
 
 
+def test_ann_bucket_layouts_prune_partitions(spark, sf_dir, tmp_path):
+    """The ANN scale claims made in operators/similarity.py must hold
+    physically: a table written partitionBy(lsh_bucket) / (ivf_cell)
+    and probed with the operator's bucket predicate shows partition
+    filters in the scan — only the probed buckets are read."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        ivf_assign,
+        lsh_bucket,
+        train_ivf_centroids,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "vid", F.col("vec_id").cast("long")
+    )
+    dim = len(embs.first()["embedding"])
+
+    lsh_path = str(tmp_path / "lsh_idx")
+    lsh_bucket(embs, "embedding", dim, n_planes=4).write.partitionBy(
+        "lsh_bucket"
+    ).parquet(lsh_path)
+    probe = spark.read.parquet(lsh_path).where(F.col("lsh_bucket").isin([0, 1, 2]))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", _physical(probe))
+    assert m and "lsh_bucket" in m.group(1)
+
+    ivf_path = str(tmp_path / "ivf_idx")
+    cents = train_ivf_centroids(embs, "embedding", k=4)
+    ivf_assign(embs, "embedding", cents).write.partitionBy("ivf_cell").parquet(ivf_path)
+    probe2 = spark.read.parquet(ivf_path).where(F.col("ivf_cell").isin([0, 1]))
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", _physical(probe2))
+    assert m2 and "ivf_cell" in m2.group(1)
+
+
 def test_batch_topk_broadcasts_queries(spark, sf_dir):
     from legal_knowledge_graph_spark.operators.similarity import batch_top_k
 

@@ -148,6 +148,19 @@ def test_lsh_drop_metrics_counted(spark):
     assert m["dropped_rows"] >= 10
 
 
+def test_ivf_training_sample_cap_is_dim_aware(spark, embs):
+    """IVF centroid training bounds its driver sample by bytes
+    (rows x dim x 8), never below k, and handles empty input."""
+    from legal_knowledge_graph_spark.operators.similarity import train_ivf_centroids
+
+    dim = len(embs.first()["embedding"])
+    c = train_ivf_centroids(embs, "embedding", k=8, max_sample_bytes=20 * dim * 8)
+    assert len(c) == 8
+    c2 = train_ivf_centroids(embs, "embedding", k=8, max_sample_bytes=1)
+    assert len(c2) == 8  # floor at k
+    assert train_ivf_centroids(embs.where("false"), "embedding", k=8) == []
+
+
 def test_simhash_duckdb_parity(spark, docs, duck):
     got = {
         r["doc_id"]: r["simhash"]
@@ -174,6 +187,40 @@ def test_simhash_duckdb_parity(spark, docs, duck):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_simhash_near_dup_pigeonhole_lossless(spark, docs):
+    """Banded SimHash pair search must find EXACTLY the brute-force
+    Hamming<=3 pairs (pigeonhole: 4 bands cover distance 3), and
+    reject unsound band/distance combinations."""
+    import itertools
+
+    from legal_knowledge_graph_spark.operators.dedup import (
+        simhash as simhash_fn,
+        simhash_near_duplicates,
+    )
+
+    d = docs.select("doc_id", "text").where("doc_id < 60")
+    mut = d.where("doc_id < 10").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(
+            corpus, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fn(corpus, "doc_id", "text").collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want and want  # lossless AND non-trivial (planted pairs)
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=4, bands=4)
 
 
 def test_ngram_jaccard_blocked(spark, docs):
