@@ -497,12 +497,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key (e.g.
     source/host/length-band). Returns (doc_a, doc_b, inter_size,
-    union_size) for jaccard >= min_jaccard."""
+    union_size) for jaccard >= min_jaccard.
+
+    When ``min_jaccard > 0`` the lossless size-ratio prefilter applies
+    (J(A,B) <= min|.|/max|.|): pairs whose shingle-set sizes differ by
+    more than the threshold ratio are dropped before the verify — the
+    tiny per-doc size table broadcasts."""
     sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
     a = blocks.select(F.col("doc_id").alias("doc_a"), "blk")
     b = blocks.select(F.col("doc_id").alias("doc_b"), "blk")
     pairs = a.join(b, "blk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    if min_jaccard > 0:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        sz_a = F.broadcast(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+        )
+        sz_b = F.broadcast(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        )
+        pairs = (
+            pairs.join(sz_a, "doc_a")
+            .join(sz_b, "doc_b")
+            .where(
+                F.least("sz_a", "sz_b") >= F.lit(min_jaccard) * F.greatest("sz_a", "sz_b")
+            )
+            .select("doc_a", "doc_b")
+        )
     verified = jaccard_verify_bitset(sh, pairs)
     if verified is None:
         verified = jaccard_verify(sh, pairs)
