@@ -1863,6 +1863,85 @@ where bit_count(xor(fa.sh, fb.sh)) <= 3
 """
 
 
+def q_structure_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (reference document_structure_detector.py:90-146): sequential
+    per-document structure detection with carried state — page 1
+    REPEATS the 'ARTICLE I.' heading, which the carried
+    entries-identified-so-far set must suppress, and spans are absolute
+    (earlier pages' lengths added). Heading tokens don't occur in the
+    word-salad corpus, so the fuzzy argmax provably lands on the
+    planted headings and the oracle computes the spans by construction
+    (ARTICLE windows end after the trailing period — the 2-token
+    window is ['ARTICLE', 'I.']; Section windows resolve verbatim)."""
+    from legal_knowledge_graph_spark.operators.structure import (
+        detect_structure_sequential,
+    )
+
+    d = _docs(spark, sf_dir)
+    url = F.col("doc_id").cast("string").alias("url")
+    p0 = d.select(
+        url,
+        F.lit(0).alias("page_idx"),
+        F.expr(
+            "'ARTICLE I.\n' || substr(text, 1, 40) || "
+            "'\nSection 1.1 ' || substr(text, 41, 40)"
+        ).alias("page_text"),
+    )
+    p1 = d.select(
+        url,
+        F.lit(1).alias("page_idx"),
+        F.expr(
+            "'ARTICLE I.\n' || substr(text, 11, 30) || "
+            "'\nSection 1.2 ' || substr(text, 5, 35)"
+        ).alias("page_text"),
+    )
+    p2 = d.select(
+        url,
+        F.lit(2).alias("page_idx"),
+        F.expr(
+            "'ARTICLE II.\n' || substr(text, 21, 25) || "
+            "'\nSection 2.1 ' || substr(text, 1, 30)"
+        ).alias("page_text"),
+    )
+    pages = p0.unionByName(p1).unionByName(p2)
+    return detect_structure_sequential(pages).select(
+        "url", "entry_key", "page_idx", "abs_start", "abs_end"
+    )
+
+
+SQL_STRUCTURE_SEQUENTIAL = """
+with d as (select doc_id::varchar as url, text from documents),
+p as (
+  select url,
+    'ARTICLE I.' || chr(10) || substr(text, 1, 40) || chr(10)
+      || 'Section 1.1 ' || substr(text, 41, 40) as p0,
+    'ARTICLE I.' || chr(10) || substr(text, 11, 30) || chr(10)
+      || 'Section 1.2 ' || substr(text, 5, 35) as p1,
+    'ARTICLE II.' || chr(10) || substr(text, 21, 25) || chr(10)
+      || 'Section 2.1 ' || substr(text, 1, 30) as p2
+  from d
+)
+select url, 'ARTICLE I' as entry_key, 0 as page_idx,
+       0::bigint as abs_start, 10::bigint as abs_end from p
+union all
+select url, 'Section 1.1', 0,
+       (strpos(p0, 'Section 1.1') - 1)::bigint,
+       (strpos(p0, 'Section 1.1') - 1 + 11)::bigint from p
+union all
+select url, 'Section 1.2', 1,
+       (length(p0) + strpos(p1, 'Section 1.2') - 1)::bigint,
+       (length(p0) + strpos(p1, 'Section 1.2') - 1 + 11)::bigint from p
+union all
+select url, 'ARTICLE II', 2,
+       (length(p0) + length(p1))::bigint,
+       (length(p0) + length(p1) + 11)::bigint from p
+union all
+select url, 'Section 2.1', 2,
+       (length(p0) + length(p1) + strpos(p2, 'Section 2.1') - 1)::bigint,
+       (length(p0) + length(p1) + strpos(p2, 'Section 2.1') - 1 + 11)::bigint from p
+"""
+
+
 def q_benchmark_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 benchmark summary (reference run_benchmark.py:132-135):
     average precision / average recall over all queries — the
@@ -2020,6 +2099,7 @@ QUERIES.update(
         "html_decode": q_html_decode,
         "toc_components": q_toc_components,
         "simhash_near_dup": q_simhash_near_dup,
+        "structure_sequential": q_structure_sequential,
     }
 )
 ORACLES.update(
@@ -2031,11 +2111,12 @@ ORACLES.update(
         "html_decode": SQL_HTML_DECODE,
         "toc_components": SQL_TOC_COMPONENTS,
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+        "structure_sequential": SQL_STRUCTURE_SEQUENTIAL,
     }
 )
 # Still pytest-only, with reasons: S4/S5 resume (filesystem snapshot
 # protocol — no SQL analogue; test_pipeline.py::test_pipeline_resume +
-# crash-consistency test), M4 sequential structure detector (carried
-# cross-page state — inherently order-dependent; test_parse_structure),
-# F1 non-verbatim fuzzy tail (difflib-oracle + hypothesis property
-# tests), streaming twins (stream==batch pytest equivalence).
+# crash-consistency test), F1 non-verbatim fuzzy tail (difflib-oracle
+# + hypothesis property tests), streaming execution twins (the batch
+# semantics ARE gated via event_windows/sessionize; stream==batch
+# equivalence is pytest).
