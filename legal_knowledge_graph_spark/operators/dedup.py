@@ -192,17 +192,18 @@ def jaccard_verify_bitset(
     intersection sizes as vectorized popcount(A & B).
 
     Bound discipline (the driver is protected BEFORE anything large
-    moves): the vocab is collected under a ``limit(max_vocab + 1)``
-    (bounded by construction), then the distinct doc count is measured
-    with one cheap aggregate and the **product** ``n_docs * mask_bytes``
-    is checked against ``max_mask_bytes`` (dim-aware: 256 MB default)
-    before any mask is built. Mask construction is two-phase: partial
-    masks per input partition (numpy-vectorized bit-sets, NO shuffle of
-    the gram table) then an OR-merge grouped by doc — only the small
-    masks shuffle (n_docs * nbytes, ~5-10x less than the gram rows),
-    and the collect is exactly ``n_docs`` rows, the product checked
-    above. Returns None when any bound is exceeded (caller falls back
-    to the shuffle-join :func:`jaccard_verify`, the 100-TB-scale path).
+    moves to it): the vocab is collected under a ``limit(max_vocab +
+    1)`` (bounded by construction); partial masks are built per input
+    partition (numpy-vectorized bit-sets, NO shuffle of the gram
+    table) and checkpointed executor-side; ONE cheap ``count()`` then
+    bounds the exact bytes the collect would move
+    (``n_partials * mask_bytes`` vs ``max_mask_bytes``, dim-aware:
+    256 MB default) before anything reaches the driver, where partials
+    are OR-merged (a doc's grams sit in one partition after the narrow
+    shingle explode, so partials ~= docs; a shuffled upstream inflates
+    the count and the same guard catches it). Returns None when any
+    bound is exceeded (caller falls back to the shuffle-join
+    :func:`jaccard_verify`, the 100-TB-scale path).
     """
     from typing import Iterator
 
@@ -216,12 +217,6 @@ def jaccard_verify_bitset(
         return None
     gram_idx = {g: i for i, g in enumerate(sorted(r["gram"] for r in vocab_rows))}
     nbytes = (len(gram_idx) + 7) // 8
-
-    # guard on the real product BEFORE materializing anything: one
-    # map-side-combinable countDistinct over the (small) gram table.
-    n_docs = sh.agg(F.countDistinct("doc_id").alias("n")).first()["n"]
-    if n_docs > max_docs or n_docs * nbytes > max_mask_bytes:
-        return None
 
     spark = sh.sparkSession
     b_idx = spark.sparkContext.broadcast(gram_idx)
@@ -253,30 +248,30 @@ def jaccard_verify_bitset(
                 out_masks.append(m.tobytes())
             yield pd.DataFrame({"doc_id": out_docs, "mask": out_masks})
 
-    def merge_masks(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in pdf["mask"]]
-        )
-        m = np.bitwise_or.reduce(arrs, axis=0)
-        return pd.DataFrame({"doc_id": pdf["doc_id"].iloc[:1], "mask": [m.tobytes()]})
+    # executor-side materialization first, THEN the bound check, THEN
+    # the driver collect — nothing unbounded ever reaches the driver.
+    partials = sh.mapInPandas(build_partials, mask_schema).localCheckpoint(eager=False)
+    n_partials = partials.count()
+    if n_partials > max_docs or n_partials * nbytes > max_mask_bytes:
+        return None
+    mask_rows = partials.collect()
 
-    mask_rows = (
-        sh.mapInPandas(build_partials, mask_schema)
-        .groupBy("doc_id")
-        .applyInPandas(merge_masks, mask_schema)
-        .collect()
-    )
-    # ONE contiguous (n_docs x words) uint64 matrix + id->row map:
-    # per-batch mask gathers become fancy indexing (no per-row dict
-    # lookups / np.stack), and popcount runs SWAR on uint64 words —
-    # 8x fewer elements than a uint8 table gather.
+    # OR-merge partials into ONE contiguous (n_docs x words) uint64
+    # matrix + id->row map: per-batch mask gathers become fancy
+    # indexing (no per-row dict lookups / np.stack), and popcount runs
+    # SWAR on uint64 words — 8x fewer elements than a uint8 gather.
     nwords = (nbytes + 7) // 8
-    M = np.zeros((len(mask_rows), nwords * 8), dtype=np.uint8)
-    row_of = {}
-    for i, r in enumerate(mask_rows):
+    row_of: dict = {}
+    M = np.zeros((n_partials, nwords * 8), dtype=np.uint8)
+    n_docs = 0
+    for r in mask_rows:
+        i = row_of.get(r["doc_id"])
+        if i is None:
+            i = row_of[r["doc_id"]] = n_docs
+            n_docs += 1
         m = np.frombuffer(r["mask"], dtype=np.uint8)
-        M[i, : len(m)] = m
-        row_of[r["doc_id"]] = i
+        M[i, : len(m)] |= m
+    M = M[:n_docs]
     M64 = M.view(np.uint64)
     b_M = spark.sparkContext.broadcast(M64)
     b_row = spark.sparkContext.broadcast(row_of)
