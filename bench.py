@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "toc_reshape",
     "ivf_ann_exact",
     "vector_attach",
+    "simhash_near_dup",
+    "dedup_groups",
+    "structure_sequential",
+    "sessionize",
 ]
 
 PAGES_PER_SF = 40_000  # sf0.1 -> 4,000 pages

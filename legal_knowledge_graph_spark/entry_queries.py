@@ -2102,6 +2102,138 @@ QUERIES.update(
         "structure_sequential": q_structure_sequential,
     }
 )
+
+
+# --------------------------------------------------- curation operators
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS (pairs -> connected components ->
+    canonical representative) via the real curation operator; the
+    oracle recomputes the full minhash pair set and closes it with a
+    recursive CTE."""
+    from legal_knowledge_graph_spark.operators.curation import near_duplicate_groups
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return near_duplicate_groups(d, "doc_id", "text", threshold=0.7).select(
+        "doc_id", "group_id", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+with recursive pairs_final as (
+  select doc_a, doc_b from ({_sql_minhash()})
+),
+und as (
+  select doc_a as a, doc_b as b from pairs_final
+  union
+  select doc_b, doc_a from pairs_final
+),
+reach(n, r) as (
+  select a, a from und
+  union
+  select reach.n, und.b from reach join und on reach.r = und.a
+),
+comp as (select n, min(r) as component from reach group by n)
+select d.doc_id,
+       coalesce(c.component, d.doc_id) as group_id,
+       case when coalesce(c.component, d.doc_id) = d.doc_id then 1 else 0 end as is_canonical
+from documents d left join comp c on c.n = d.doc_id
+"""
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group cap (at most 50 docs per source) via
+    hash-ranked window sampling."""
+    from legal_knowledge_graph_spark.operators.curation import sample_per_group
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return sample_per_group(d, "source", "doc_id", 50).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+SQL_SAMPLE_PER_GROUP = """
+with r as (
+  select doc_id, source,
+         row_number() over (
+           partition by source order by md5(doc_id::varchar), doc_id
+         ) as sample_rank
+  from documents
+)
+select doc_id, source, sample_rank::int as sample_rank
+from r where sample_rank <= 50
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk LM sequence packing: per source stream in
+    doc_id order, cut the n_chars token stream every 10000."""
+    from legal_knowledge_graph_spark.operators.curation import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_tok")
+    )
+    return pack_sequences(d, "source", "doc_id", "n_tok", "doc_id", 10000).select(
+        "doc_id", "source", "bin_id", "bin_offset"
+    )
+
+
+SQL_PACK_SEQUENCES = """
+with w as (
+  select doc_id, source,
+         coalesce(sum(n_chars::bigint) over (
+           partition by source order by doc_id, doc_id
+           rows between unbounded preceding and 1 preceding
+         ), 0) as before
+  from documents
+)
+select doc_id, source,
+       (before // 10000)::bigint as bin_id,
+       (before % 10000)::bigint as bin_offset
+from w
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 bucket —
+    reproducible across engines, runs, and cluster sizes."""
+    from legal_knowledge_graph_spark.operators.curation import hash_split
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+
+SQL_HASH_SPLIT = """
+with b as (
+  select doc_id,
+         ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 1000000 as bucket
+  from documents
+)
+select doc_id,
+       case when bucket < 800000 then 'train'
+            when bucket < 900000 then 'val'
+            else 'test' end as split
+from b
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_groups": q_dedup_groups,
+        "sample_per_group": q_sample_per_group,
+        "pack_sequences": q_pack_sequences,
+        "hash_split": q_hash_split,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_groups": SQL_DEDUP_GROUPS,
+        "sample_per_group": SQL_SAMPLE_PER_GROUP,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "hash_split": SQL_HASH_SPLIT,
+    }
+)
 ORACLES.update(
     {
         "sessionize": SQL_SESSIONIZE,
