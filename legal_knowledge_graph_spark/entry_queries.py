@@ -2218,8 +2218,30 @@ from b
 """
 
 
+def q_emb_lsh_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness reduction for the scale-path embedding near-dup tier
+    (similarity.embedding_near_dup_lsh): with zero hyperplanes every
+    vector shares one bucket, so the banded blocking degenerates to
+    all-pairs and the result equals the brute-force cosine join."""
+    from legal_knowledge_graph_spark.operators.similarity import embedding_near_dup_lsh
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    dim = len(embs.first()["embedding"])
+    return embedding_near_dup_lsh(
+        embs, "vid", "embedding", dim, threshold=0.35, n_planes=0
+    ).select("doc_a", "doc_b")
+
+
+SQL_EMB_LSH_NEAR_DUP_EXACT = """
+select a.vec_id::bigint as doc_a, b.vec_id::bigint as doc_b
+from embeddings a join embeddings b on a.vec_id::bigint < b.vec_id::bigint
+where list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.35
+"""
+
+
 QUERIES.update(
     {
+        "emb_lsh_near_dup_exact": q_emb_lsh_near_dup_exact,
         "dedup_groups": q_dedup_groups,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
@@ -2228,6 +2250,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "emb_lsh_near_dup_exact": SQL_EMB_LSH_NEAR_DUP_EXACT,
         "dedup_groups": SQL_DEDUP_GROUPS,
         "sample_per_group": SQL_SAMPLE_PER_GROUP,
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -574,7 +574,7 @@ def embedding_near_duplicates(
         raise ValueError(
             f"embedding_near_duplicates exact tier needs the vector set "
             f"to fit in a broadcast (cap {cap} rows at dim {dim}); use "
-            f"similarity.lsh_bucket blocking above the cap"
+            f"similarity.embedding_near_dup_lsh above the cap"
         )
     ids = pdf_all["doc_id"].to_numpy(dtype="int64")
     mat = np.array(list(pdf_all["v"]), dtype="float64")

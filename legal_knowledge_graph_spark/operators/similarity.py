@@ -142,6 +142,65 @@ def lsh_top_k(
     )
 
 
+def embedding_near_dup_lsh(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.8,
+    n_planes: int = 16,
+    bands: int = 4,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs at ANY scale: band the
+    sign-random-projection bits (like the SimHash tier — cosine-close
+    vectors agree on most sign bits, so they collide in >= 1 band with
+    high probability), self-join within capped band buckets, then
+    verify candidates with the exact native cosine. Returns
+    (doc_a, doc_b, score) with score >= threshold.
+
+    This is the scale path the exact broadcast tier
+    (dedup.embedding_near_duplicates) points to above its byte cap: no
+    broadcast of the vector set, no O(N^2) anything — the only
+    pairwise work is inside capped LSH buckets. Recall < 1 by
+    construction (pinned in BASELINE.md); ``n_planes=0`` degenerates
+    to the exact all-pairs tier (the oracle-gated reduction).
+    """
+    rpb = n_planes // bands if bands else 0
+    b = lsh_bucket(vectors, vec_col, dim, n_planes).select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), "lsh_bucket"
+    )
+    band_keys = [
+        (
+            F.lit(bi * (1 << max(rpb, 1)))
+            + F.shiftright(F.col("lsh_bucket"), bi * rpb).bitwiseAND(
+                F.lit((1 << rpb) - 1 if rpb else 0)
+            )
+        ).cast("long")
+        for bi in range(bands)
+    ]
+    banded = b.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
+    aa = banded.select("band_key", F.col("doc_id").alias("doc_a"))
+    bb = banded.select("band_key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        aa.join(bb, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = b.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = b.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("score") >= threshold)
+        .select("doc_a", "doc_b", "score")
+    )
+
+
 # ------------------------------------------------------------------ IVF
 
 

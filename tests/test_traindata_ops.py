@@ -148,6 +148,34 @@ def test_lsh_drop_metrics_counted(spark):
     assert m["dropped_rows"] >= 10
 
 
+def test_emb_lsh_near_dup_scale_path(spark, embs):
+    """The SRP-banded near-dup scale path: zero false positives (exact
+    cosine verify), and the n_planes=0 reduction equals the exact
+    broadcast tier."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long")).where("vid < 300")
+    dim = len(sub.first()["embedding"])
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_duplicates(sub, "vid", "embedding", threshold=0.35).collect()
+    }
+    appr = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_lsh(sub, "vid", "embedding", dim, threshold=0.35).collect()
+    }
+    assert appr <= exact  # precision 1.0 by construction
+    red = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_dup_lsh(
+            sub, "vid", "embedding", dim, threshold=0.35, n_planes=0
+        ).collect()
+    }
+    assert red == exact
+
+
 def test_ivf_training_sample_cap_is_dim_aware(spark, embs):
     """IVF centroid training bounds its driver sample by bytes
     (rows x dim x 8), never below k, and handles empty input."""
