@@ -64,23 +64,43 @@ def detect_structure_sequential(
     ABSOLUTE character spans (offset = sum of earlier pages' lengths,
     matching the reference's absolute-span variant, :117-135). Entry
     span = best fuzzy window for the heading line within its page,
-    shifted by the page offset."""
+    shifted by the page offset.
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+    Physical shape: ``repartition(url)`` + ``sortWithinPartitions(url,
+    page_idx)`` + ONE ``mapInPandas`` pass whose per-document state
+    (seen-keys set, running offset) carries across Arrow batches and
+    resets at url boundaries. Documents are small groups, and
+    per-group ``applyInPandas`` pays a pandas-DataFrame per group —
+    measured 4x slower at 5k docs than this batch-carry form; grouping
+    correctness is preserved because hash repartition colocates a url
+    and the sort makes it contiguous, and a mapInPandas iterator walks
+    one partition's batches in order."""
+    from typing import Iterator
+
+    from pyspark.sql import functions as F
+
+    prepared = (
+        pages.select(url_col, order_col, text_col)
+        .repartition(F.col(url_col))
+        .sortWithinPartitions(url_col, order_col)
+    )
+
+    cols = [f.name for f in STRUCT_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_url = None
         seen: set[str] = set()
         offset = 0
-        rows = []
-        for _, r in pdf.iterrows():
-            text = r[text_col] or ""
-            for key in _detect_page(text, seen):
-                s, e, _score = best_window_by_words(text, key)
-                rows.append((r[url_col], key, int(r[order_col]), offset + s, offset + e))
-            offset += len(text)
-        return pd.DataFrame(rows, columns=[f.name for f in STRUCT_SCHEMA.fields])
+        for pdf in batches:
+            rows = []
+            for url, idx, text in zip(pdf[url_col], pdf[order_col], pdf[text_col]):
+                if url != cur_url:
+                    cur_url, seen, offset = url, set(), 0
+                text = text or ""
+                for key in _detect_page(text, seen):
+                    s, e, _score = best_window_by_words(text, key)
+                    rows.append((url, key, int(idx), offset + s, offset + e))
+                offset += len(text)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        pages.select(url_col, order_col, text_col)
-        .groupBy(url_col)
-        .applyInPandas(run, STRUCT_SCHEMA)
-    )
+    return prepared.mapInPandas(run, STRUCT_SCHEMA)
