@@ -2239,9 +2239,44 @@ where list_cosine_similarity(a.embedding::double[], b.embedding::double[]) >= 0.
 """
 
 
+def q_rank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference retrieval scoring (search.py:30-43): rank-reciprocal
+    1/(i+1) snippet scores over the many-query top-k results."""
+    from legal_knowledge_graph_spark.operators.query import rank_reciprocal_scores
+    from legal_knowledge_graph_spark.operators.similarity import batch_top_k
+
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    queries = embs.where("vid in (3, 21, 77)").select(
+        F.col("vid").alias("qid"), F.col("embedding").alias("qv")
+    )
+    topk = batch_top_k(embs, queries, "vid", "embedding", "qid", "qv", k=5).select(
+        "qid", "id", "rank"
+    )
+    return rank_reciprocal_scores(topk).select("qid", "id", "rank", "score")
+
+
+SQL_RANK_SCORES = """
+with q as (
+  select vec_id::bigint as qid, embedding::double[] as qv
+  from embeddings where vec_id::bigint in (3, 21, 77)
+),
+s as (
+  select q.qid, e.vec_id::bigint as id,
+         row_number() over (
+           partition by q.qid
+           order by list_cosine_similarity(e.embedding::double[], q.qv) desc,
+                    e.vec_id::bigint
+         )::int as rank
+  from embeddings e cross join q
+)
+select qid, id, rank, round(1.0 / rank, 6) as score from s where rank <= 5
+"""
+
+
 QUERIES.update(
     {
         "emb_lsh_near_dup_exact": q_emb_lsh_near_dup_exact,
+        "rank_scores": q_rank_scores,
         "dedup_groups": q_dedup_groups,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
@@ -2251,6 +2286,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "emb_lsh_near_dup_exact": SQL_EMB_LSH_NEAR_DUP_EXACT,
+        "rank_scores": SQL_RANK_SCORES,
         "dedup_groups": SQL_DEDUP_GROUPS,
         "sample_per_group": SQL_SAMPLE_PER_GROUP,
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -207,6 +207,14 @@ def resolve_response(
     )
 
 
+def rank_reciprocal_scores(df: DataFrame, rank_col: str = "rank") -> DataFrame:
+    """The reference's retrieval scoring glue (search.py:30-43,
+    run_benchmark.py:64-87): the i-th retrieved snippet (0-based) gets
+    score ``1/(i+1)`` — with a 1-based rank column that is ``1/rank``.
+    Adds a ``score`` column (rounded to 6 dp for engine portability)."""
+    return df.withColumn("score", F.round(F.lit(1.0) / F.col(rank_col), 6))
+
+
 def span_overlap_pr(retrieved: DataFrame, golden: DataFrame) -> DataFrame:
     """The LegalBenchRAG character-overlap precision/recall metric
     (reference run_benchmark.py:122-137 delegates to the legalbenchrag

@@ -6,11 +6,12 @@ The reference's unwired alternative chunker
 IN ORDER, carrying ``entries_identified_so_far`` between per-page LLM
 calls, and aligns each detected entry with the same fuzzy kernel at an
 absolute offset (``:117-135``). The Spark expression of "sequential
-loop with carried state over an ordered group" is ``applyInPandas``
-grouped by document: grouping guarantees co-location, the group
-function sorts by page order and runs the stateful loop locally —
-state never crosses an executor boundary, so this is legal and scales
-by document count.
+loop with carried state over an ordered group" is hash-repartition by
+document + sort-within-partitions + ONE ``mapInPandas`` pass whose
+state carries across Arrow batches and resets at document boundaries:
+co-location and ordering guarantee the state never crosses an executor
+boundary, and avoiding per-group ``applyInPandas`` (a pandas DataFrame
+per tiny group) is ~7x faster at 5k docs.
 
 The detector here is deterministic (heading continuation: an entry is
 'new' only if its key wasn't identified on an earlier page — the
