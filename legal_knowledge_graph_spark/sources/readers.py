@@ -98,6 +98,50 @@ def sample_tests(tests: DataFrame, key_col: str, max_tests: int = MAX_TESTS_PER_
     )
 
 
+def sample_tests_reference_exact(
+    tests: DataFrame,
+    first_fp_col: str,
+    order_col: str,
+    max_tests: int = MAX_TESTS_PER_BENCHMARK,
+) -> DataFrame:
+    """S2, byte-exact variant: reproduces the reference's sampling
+    DECISIONS bit-for-bit (data_loader.py:71-79). The reference's key
+    is ``(random.seed(test.snippets[0].file_path), random.random())[1]``
+    — CPython seeds a str via sha512 (version-2 seeding), so the key is
+    a pure deterministic function of the first snippet's file_path,
+    identical on every machine. Tests sharing a first file_path get
+    identical keys and the reference's ``sorted`` is stable, so the
+    tiebreak is the original order (``order_col``). Computed in an
+    Arrow-batched map stage; the sort+limit plans as
+    TakeOrderedAndProject."""
+    import random
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        tests.schema.fields + [T.StructField("_ref_key", T.DoubleType(), False)]
+    )
+    cols = tests.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["_ref_key"] = pdf[first_fp_col].map(
+                lambda fp: random.Random(fp).random()
+            )
+            yield out
+
+    keyed = tests.mapInPandas(run, schema)
+    return (
+        keyed.orderBy(F.col("_ref_key"), F.col(order_col))
+        .limit(max_tests)
+        .drop("_ref_key")
+    )
+
+
 def read_text_corpus(spark: SparkSession, glob: str) -> DataFrame:
     """S3 — whole-file UTF-8 reads keyed by path -> (url, text)."""
     return (

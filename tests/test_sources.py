@@ -100,3 +100,35 @@ def test_html_to_text(spark):
         html_to_text(F.col("html")).alias("text")
     )
     assert df.first()["text"] == "Title Hello & welcome <here>. Second line"
+
+
+def test_sample_tests_reference_exact_byte_parity(spark):
+    """The byte-exact S2 variant must select EXACTLY the tests the
+    reference's code selects (data_loader.py:71-79): module-level
+    random.seed(first_file_path) + random.random() as the sort key,
+    Python stable sort, first MAX cap."""
+    import random
+
+    from legal_knowledge_graph_spark.sources.readers import (
+        sample_tests_reference_exact,
+    )
+
+    rows = [(i, f"corpus/file_{i % 37}.txt") for i in range(300)]
+    df = spark.createDataFrame(rows, "test_id int, first_fp string")
+    got = [
+        (r["test_id"], r["first_fp"])
+        for r in sample_tests_reference_exact(df, "first_fp", "test_id", 194)
+        .orderBy("test_id")
+        .collect()
+    ]
+
+    # the reference's own expression, run directly
+    expected = sorted(
+        rows, key=lambda t: (random.seed(t[1]), random.random())[1]
+    )[:194]
+    assert got == sorted(expected)
+    # and the instance-RNG form used executor-side equals the
+    # module-singleton form the reference uses
+    for fp in {r[1] for r in rows}:
+        random.seed(fp)
+        assert random.random() == random.Random(fp).random()
