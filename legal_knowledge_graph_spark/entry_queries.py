@@ -1301,14 +1301,18 @@ from secs group by url
 
 
 def q_benchmark_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 (reference nodes/data_loader.py:26-51): the benchmark
-    validator's sorted-disjoint-spans invariant as a distributed check
-    returning the VIOLATING rows — planted degenerate (1-in-7) and
-    overlapping spans exercise both branches, via the real
-    sources.validate_snippets."""
+    """S1 (reference nodes/data_loader.py:35-41): the benchmark
+    validator's span-sorted strict-disjointness invariant (touching
+    spans — prev_end == cur_start — are violations, exactly the
+    reference's ``>=``) as a distributed check returning the VIOLATING
+    rows, via the real sources.validate_snippets. Planted rows exercise
+    every branch: overlapping spans, TOUCHING spans (doc_id < 10:
+    [100,120) then [120,140) in one group), and degenerate spans
+    (1-in-7 — the documented extension rule)."""
     from legal_knowledge_graph_spark.sources.readers import validate_snippets
 
-    snips = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir)
+    snips = d.select(
         (F.col("doc_id") % 50).alias("test_id"),
         F.concat(F.lit("f"), (F.col("doc_id") % 3).cast("string")).alias("file_path"),
         F.col("doc_id").alias("snippet_order"),
@@ -1318,6 +1322,21 @@ def q_benchmark_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("doc_id") % 7 == 0, 0).otherwise(20)
         ).alias("span_end"),
     )
+    touching = d.where("doc_id < 10").selectExpr(
+        "900 + doc_id as test_id",
+        "'t' as file_path",
+        "doc_id as snippet_order",
+        "cast(100 as long) as span_start",
+        "cast(120 as long) as span_end",
+    )
+    touching2 = d.where("doc_id < 10").selectExpr(
+        "900 + doc_id as test_id",
+        "'t' as file_path",
+        "doc_id + 1000 as snippet_order",
+        "cast(120 as long) as span_start",
+        "cast(140 as long) as span_end",
+    )
+    snips = snips.unionByName(touching).unionByName(touching2)
     return validate_snippets(snips).select(
         "test_id", "file_path", "snippet_order", "span_start", "span_end"
     )
@@ -1330,15 +1349,19 @@ with s as (
          (doc_id * 37) % 1000
            + case when doc_id % 7 = 0 then 0 else 20 end as span_end
   from documents
+  union all
+  select 900 + doc_id, 't', doc_id, 100, 120 from documents where doc_id < 10
+  union all
+  select 900 + doc_id, 't', doc_id + 1000, 120, 140 from documents where doc_id < 10
 ),
 w as (
   select *, lag(span_end) over (
-    partition by test_id, file_path order by snippet_order) as prev_end
+    partition by test_id, file_path order by span_start, snippet_order) as prev_end
   from s
 )
 select test_id, file_path, snippet_order, span_start, span_end
 from w
-where span_end <= span_start or (prev_end is not null and span_start < prev_end)
+where span_end <= span_start or (prev_end is not null and span_start <= prev_end)
 """
 
 
@@ -2311,3 +2334,249 @@ ORACLES.update(
 # + hypothesis property tests), streaming execution twins (the batch
 # semantics ARE gated via event_windows/sessionize; stream==batch
 # equivalence is pytest).
+
+# ------------------------------------------------- round-3 gate layout
+# The driver's CORRECTNESS gate verifies the FIRST 50 queries() entries
+# in dict-insertion order (round-2 verdict: entries 51-59 got no row).
+# Consolidation: merged entries keep asserting the UNION of their
+# predecessors' outputs (each absorbed query still runs through its
+# REAL operator; outputs are unioned with a tag column or wide-joined
+# on doc_id), and the 9 previously gate-unverified entries are
+# registered FIRST. Merge map (old key -> merged entry):
+#   summary_rule      -> tree_summarize     (union, path_key tag)
+#   topk_cosine       -> batch_topk         (union, qid = -7 block)
+#   simhash           -> simhash_near_dup   (union, kind tag)
+#   toc_reshape       -> toc_components     (union, key prefix tag)
+#   span_pr           -> benchmark_summary  (union, n = -1 per-query)
+#   lsh_ann + ivf_ann -> ann_approx         (union, method tag; rows-only)
+#   token_stats + quality_score + language_id + fingerprint
+#     + bpe_tokens    -> text_metrics       (wide join on doc_id)
+# bench.py still times the retired names via their q_* functions, so
+# round-over-round BENCH key comparison stays intact.
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-analysis metrics, wide: token_stats + quality_score
+    + language_id + fingerprint + bpe_tokens joined on doc_id — all
+    five REAL operators execute; every previously gate-verified column
+    is still asserted (quality_score's n_tokens kept as q_n_tokens so
+    both operators' outputs are independently checked)."""
+    from legal_knowledge_graph_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+        token_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    ts = token_stats(d, "doc_id", "text").select(
+        "doc_id", "n_tokens", "n_chars", "avg_token_len_x100"
+    )
+    qs = quality_score(d, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_tokens").alias("q_n_tokens"),
+        "stopword_hits",
+        "punct_chars",
+    )
+    li = language_id(d, "doc_id", "text").select("doc_id", "lang_pred", "lang_hits")
+    fp = fingerprint(d, "doc_id", "text").select("doc_id", "fp")
+    bpe = q_bpe_tokens(spark, sf_dir)
+    return ts.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id").join(bpe, "doc_id")
+
+
+SQL_TEXT_METRICS = f"""
+select ts.doc_id, ts.n_tokens, ts.n_chars, ts.avg_token_len_x100,
+       q.q_n_tokens, q.stopword_hits, q.punct_chars,
+       l.lang_pred, l.lang_hits, f.fp, b.n_bpeish_tokens
+from ({SQL_TOKEN_STATS}) ts
+join (select doc_id, n_tokens as q_n_tokens, stopword_hits, punct_chars
+      from ({SQL_QUALITY})) q on q.doc_id = ts.doc_id
+join ({SQL_LANGUAGE_ID}) l on l.doc_id = ts.doc_id
+join ({SQL_FINGERPRINT}) f on f.doc_id = ts.doc_id
+join ({SQL_BPE_TOKENS}) b on b.doc_id = ts.doc_id
+"""
+
+
+def q_tree_summarize_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tree_summarize ∪ summary_rule (A2/A3/M3 ∪ A4): the bottom-up
+    level-loop rows plus the summary-else-content rule rows tagged
+    path_key='__summary_rule__' (url = doc_id)."""
+    base = q_tree_summarize(spark, sf_dir)
+    rule = q_summary_rule(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("__summary_rule__").alias("path_key"),
+        F.col("vec_text_md5").alias("summary"),
+    )
+    return base.unionByName(rule)
+
+
+SQL_TREE_SUMMARIZE_MERGED = f"""
+select url, path_key, summary from ({SQL_TREE_SUMMARIZE})
+union all
+select doc_id::varchar as url, '__summary_rule__' as path_key,
+       vec_text_md5 as summary
+from ({SQL_SUMMARY_RULE})
+"""
+
+
+def q_batch_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """batch_top_k ∪ brute_force_top_k: the many-query scan-once path
+    (qids 3/21/77, k=5) plus the single-query brute-force operator as
+    the qid=-7 block (query vector = embedding #7, k=10)."""
+    bt = q_batch_topk(spark, sf_dir)
+    tc = q_topk_cosine(spark, sf_dir).select(
+        F.lit(-7).cast("long").alias("qid"), "id", "rank"
+    )
+    return bt.unionByName(tc)
+
+
+SQL_BATCH_TOPK_MERGED = f"""
+select qid, id, rank from ({SQL_BATCH_TOPK})
+union all
+select -7 as qid, id, rank from ({SQL_TOPK_COSINE})
+"""
+
+
+def q_simhash_near_dup_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_near_duplicates ∪ simhash: Hamming-near pairs over the
+    80-planted-near-dup corpus (kind='pair': a=doc_a, b=doc_b,
+    v=hamming) plus the per-doc 32-bit fingerprints on the plain corpus
+    (kind='sig': a=doc_id, b=-1, v=simhash)."""
+    pairs = q_simhash_near_dup(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("v"),
+    )
+    sigs = q_simhash(spark, sf_dir).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.col("simhash").cast("long").alias("v"),
+    )
+    return pairs.unionByName(sigs)
+
+
+SQL_SIMHASH_NEAR_DUP_MERGED = f"""
+select 'pair' as kind, doc_a::bigint as a, doc_b::bigint as b,
+       hamming::bigint as v
+from ({SQL_SIMHASH_NEAR_DUP})
+union all
+select 'sig' as kind, doc_id::bigint as a, -1::bigint as b,
+       simhash::bigint as v
+from ({SQL_SIMHASH})
+"""
+
+
+def q_toc_components_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 both directions: write-side build_toc (key='w:'||url) ∪
+    read-side quirk-exact reshape_toc over the six stored-TOC shape
+    variants (key='r:'||node_id)."""
+    wr = q_toc_reshape(spark, sf_dir).select(
+        F.concat(F.lit("w:"), F.col("url")).alias("key"),
+        F.col("toc_json").alias("payload_json"),
+    )
+    rd = q_toc_components(spark, sf_dir).select(
+        F.concat(F.lit("r:"), F.col("node_id").cast("string")).alias("key"),
+        F.col("components_json").alias("payload_json"),
+    )
+    return wr.unionByName(rd)
+
+
+SQL_TOC_COMPONENTS_MERGED = f"""
+select 'w:' || url as key, toc_json as payload_json from ({SQL_TOC_RESHAPE})
+union all
+select 'r:' || node_id as key, components_json as payload_json
+from ({SQL_TOC_COMPONENTS})
+"""
+
+
+def q_benchmark_summary_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_overlap_pr per-query rows (n = -1) ∪ the run_benchmark
+    summary averages row (query_id = -1, n = n_queries)."""
+    pr = q_span_pr(spark, sf_dir).select(
+        "query_id", "precision", "recall", F.lit(-1).cast("long").alias("n")
+    )
+    summ = q_benchmark_summary(spark, sf_dir).select(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.col("average_precision").alias("precision"),
+        F.col("average_recall").alias("recall"),
+        F.col("n_queries").cast("long").alias("n"),
+    )
+    return pr.unionByName(summ)
+
+
+SQL_BENCHMARK_SUMMARY_MERGED = f"""
+select query_id, precision, recall, -1::bigint as n from ({SQL_SPAN_PR})
+union all
+select -1 as query_id, average_precision as precision,
+       average_recall as recall, n_queries::bigint as n
+from ({SQL_BENCHMARK_SUMMARY})
+"""
+
+
+def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN paths, rows-only (no SQL oracle by design —
+    hash-bucketed / centroid-trained recall is engine-specific; the
+    exactness reductions lsh_ann_exact / ivf_ann_exact are the
+    oracle-gated twins, and pytest pins recall vs brute force):
+    hyperplane-LSH top-k ∪ IVF top-k, tagged by method."""
+    l = q_lsh_ann(spark, sf_dir).select(F.lit("lsh").alias("method"), "id", "rank")
+    i = q_ivf_ann(spark, sf_dir).select(F.lit("ivf").alias("method"), "id", "rank")
+    return l.unionByName(i)
+
+
+_MERGED_QUERIES = {
+    "text_metrics": q_text_metrics,
+    "tree_summarize": q_tree_summarize_merged,
+    "batch_topk": q_batch_topk_merged,
+    "simhash_near_dup": q_simhash_near_dup_merged,
+    "toc_components": q_toc_components_merged,
+    "benchmark_summary": q_benchmark_summary_merged,
+    "ann_approx": q_ann_approx,
+}
+_MERGED_ORACLES = {
+    "text_metrics": SQL_TEXT_METRICS,
+    "tree_summarize": SQL_TREE_SUMMARIZE_MERGED,
+    "batch_topk": SQL_BATCH_TOPK_MERGED,
+    "simhash_near_dup": SQL_SIMHASH_NEAR_DUP_MERGED,
+    "toc_components": SQL_TOC_COMPONENTS_MERGED,
+    "benchmark_summary": SQL_BENCHMARK_SUMMARY_MERGED,
+    # ann_approx: rows-only by design (see docstring)
+}
+_RETIRED = [
+    "summary_rule", "topk_cosine", "simhash", "toc_reshape", "span_pr",
+    "lsh_ann", "ivf_ann", "token_stats", "quality_score", "language_id",
+    "fingerprint", "bpe_tokens",
+]
+
+#: final gate order — the 9 round-2 gate-unverified entries first, then
+#: every remaining (merged) entry; 49 total, under the 50-row ceiling.
+_GATE_ORDER = [
+    "structure_sequential", "toc_components", "rank_scores",
+    "dedup_groups", "sample_per_group", "pack_sequences", "hash_split",
+    "simhash_near_dup", "emb_lsh_near_dup_exact",
+    "split_intro_body", "mention_counts", "triple_extract",
+    "surface_normalize", "entity_link", "cc_components", "tree_agg",
+    "next_prev", "dedup_exact", "dedup_minhash", "ngram_jaccard",
+    "embedding_near_dup", "text_metrics", "salted_degree", "media_meta",
+    "decode_features", "deterministic_sample", "referenced_scan",
+    "event_windows", "json_parse", "search_children_topk",
+    "search_neighbors", "resolve_spans", "rollup_agg", "search_corpus",
+    "corpus_toc", "benchmark_validate", "tree_summarize", "align_spans",
+    "corpus_nodes", "vector_attach", "idempotent_ids", "ivf_ann_exact",
+    "lsh_ann_exact", "sessionize", "frame_sample", "batch_topk",
+    "benchmark_summary", "html_decode", "ann_approx",
+]
+
+QUERIES.update(_MERGED_QUERIES)
+ORACLES.update(_MERGED_ORACLES)
+for _k in _RETIRED:
+    QUERIES.pop(_k, None)
+    ORACLES.pop(_k, None)
+assert set(_GATE_ORDER) == set(QUERIES), (
+    sorted(set(_GATE_ORDER) ^ set(QUERIES))
+)
+assert len(_GATE_ORDER) <= 50
+QUERIES = {k: QUERIES[k] for k in _GATE_ORDER}
+ORACLES = {k: ORACLES[k] for k in _GATE_ORDER if k in ORACLES}

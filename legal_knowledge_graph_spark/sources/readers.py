@@ -73,17 +73,24 @@ def read_benchmark_json(spark: SparkSession, path: str) -> DataFrame:
 
 
 def validate_snippets(snippets: DataFrame) -> DataFrame:
-    """The reference validator's invariant (data_loader.py:26-40):
-    within each (test, file_path), spans must be sorted ascending AND
-    pairwise disjoint. Returns the VIOLATING rows (empty == valid) —
-    assertion-as-DataFrame, so validation itself is distributed."""
-    w = Window.partitionBy("test_id", "file_path").orderBy("snippet_order")
-    checked = snippets.withColumn("prev_end", F.lag("span_end").over(w)).withColumn(
-        "prev_start", F.lag("span_start").over(w)
+    """The reference validator's invariant (data_loader.py:35-41):
+    within each (test, file_path), snippets sorted BY SPAN START must be
+    strictly disjoint — ``prev.span[1] >= cur.span[0]`` raises, i.e.
+    TOUCHING spans are violations too. Returns the VIOLATING rows
+    (empty == valid) — assertion-as-DataFrame, so validation itself is
+    distributed. The ``snippet_order`` tiebreak mirrors the reference's
+    stable ``sorted(key=span[0])`` over insertion order.
+
+    Extension beyond the reference: a standalone degenerate-span rule
+    (``span_end <= span_start``) — the reference's Snippet model never
+    checks this, but an empty/negative span is always a data bug."""
+    w = Window.partitionBy("test_id", "file_path").orderBy(
+        "span_start", "snippet_order"
     )
+    checked = snippets.withColumn("prev_end", F.lag("span_end").over(w))
     return checked.where(
-        (F.col("span_end") <= F.col("span_start"))  # degenerate span
-        | (F.col("prev_end").isNotNull() & (F.col("span_start") < F.col("prev_end")))
+        (F.col("span_end") <= F.col("span_start"))  # degenerate (extension)
+        | (F.col("prev_end").isNotNull() & (F.col("span_start") <= F.col("prev_end")))
     )
 
 

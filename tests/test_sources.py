@@ -28,8 +28,11 @@ def test_benchmark_reader_and_validation(spark, tmp_path):
         {
             "query": "q1",
             "snippets": [
+                # strictly disjoint: the reference raises on prev_end
+                # >= cur_start, so [0,10],[11,20] is the closest legal
+                # spacing (touching [10,20] would violate)
                 {"file_path": "a.txt", "span": [0, 10], "answer": None},
-                {"file_path": "a.txt", "span": [10, 20], "answer": None},
+                {"file_path": "a.txt", "span": [11, 20], "answer": None},
                 {"file_path": "b.txt", "span": [5, 9], "answer": None},
             ],
             "tags": ["t"],
@@ -51,6 +54,10 @@ def test_benchmark_reader_and_validation(spark, tmp_path):
                 {"file_path": "a.txt", "span": [0, 10], "answer": None},
                 {"file_path": "a.txt", "span": [5, 20], "answer": None},  # overlap
                 {"file_path": "a.txt", "span": [30, 30], "answer": None},  # empty
+                # touching: prev_end == cur_start is a violation in the
+                # reference (data_loader.py:37 uses >=)
+                {"file_path": "c.txt", "span": [0, 4], "answer": None},
+                {"file_path": "c.txt", "span": [4, 8], "answer": None},
             ],
             "tags": [],
         }
@@ -58,7 +65,15 @@ def test_benchmark_reader_and_validation(spark, tmp_path):
     bad_path = tmp_path / "bad.json"
     bad_path.write_text(json.dumps({"tests": bad}))
     viol = validate_snippets(read_benchmark_json(spark, str(bad_path)))
-    assert viol.count() == 2
+    assert viol.count() == 3
+    # out-of-snippet-order but span-sorted-disjoint input is VALID (the
+    # reference sorts by span start before checking, not input order)
+    unordered = spark.createDataFrame(
+        [(0, "a", 0, 100, 120), (0, "a", 1, 0, 50)],
+        "test_id long, file_path string, snippet_order long,"
+        " span_start long, span_end long",
+    )
+    assert validate_snippets(unordered).count() == 0
 
 
 def test_sample_tests_deterministic_cap(spark):
