@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "dedup_groups",
     "structure_sequential",
     "sessionize",
+    # round-3 additions
+    "quality_filters",
+    "contamination",
 ]
 
 PAGES_PER_SF = 40_000  # sf0.1 -> 4,000 pages
@@ -123,7 +126,12 @@ def main() -> None:
         q_runs: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
         for _ in range(n_runs):
             for name in BENCH_QUERIES:
-                fn = QUERIES.get(name) or getattr(entry_queries, f"q_{name}")
+                # original q_* functions first: gate entries merged by
+                # the round-3 consolidation time a UNION of operators,
+                # which would inflate shared-key comparisons vs earlier
+                # rounds; the original per-operator functions stay
+                # defined precisely for this.
+                fn = getattr(entry_queries, f"q_{name}", None) or QUERIES[name]
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 q_runs[name].append(round(time.time() - t0, 3))

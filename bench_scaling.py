@@ -30,14 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _fingerprint(df):
     """Order-insensitive content fingerprint: (sum of xxhash64 over the
     stringified row with sorted columns, row count) — identical tables
-    at any parallelism level must produce identical values."""
+    at any parallelism level must produce identical values. SUM, not
+    bit_xor: xor cancels any row whose multiplicity changes by an even
+    amount (two paired duplicate rows fingerprint like their absence),
+    while a multiset sum always moves. The sum runs in decimal(38,0)
+    so ANSI mode can't overflow on int64 accumulation."""
     from pyspark.sql import functions as F
 
     cols = sorted(df.columns)
     h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     return (
-        df.select(h.alias("_h"))
-        .agg(F.bit_xor("_h").alias("s"), F.count("*").alias("n"))
+        df.select(h.cast("decimal(38,0)").alias("_h"))
+        .agg(F.coalesce(F.sum("_h"), F.lit(0)).alias("s"), F.count("*").alias("n"))
         .first()
     )
 

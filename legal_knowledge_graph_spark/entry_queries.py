@@ -1160,7 +1160,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [float(x) for x in embs.where("vid = 11").first()["embedding"]]
     cents = train_ivf_centroids(embs, "embedding", k=16)
     indexed = ivf_assign(embs, "embedding", cents)
-    return ivf_top_k(indexed, "vid", "embedding", q, cents, k=10, n_probe=4).select(
+    return ivf_top_k(indexed, "vid", "embedding", q, cents, k=10).select(
         "id", "rank"
     )
 
@@ -2515,6 +2515,207 @@ from ({SQL_BENCHMARK_SUMMARY})
 """
 
 
+def q_sampled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ∪ S3: deterministic hash-ordered sampling (key='s:'||doc_id,
+    payload=sample_key) plus the referenced-only corpus scan
+    (key='r:'||doc_id, payload=n_chars)."""
+    a = q_deterministic_sample(spark, sf_dir).select(
+        F.concat(F.lit("s:"), F.col("doc_id").cast("string")).alias("key"),
+        F.col("sample_key").alias("payload"),
+    )
+    b = q_referenced_scan(spark, sf_dir).select(
+        F.concat(F.lit("r:"), F.col("doc_id").cast("string")).alias("key"),
+        F.col("n_chars").cast("string").alias("payload"),
+    )
+    return a.unionByName(b)
+
+
+SQL_SAMPLED_SCAN = f"""
+select 's:' || doc_id as key, sample_key as payload
+from ({SQL_DETERMINISTIC_SAMPLE})
+union all
+select 'r:' || doc_id as key, n_chars::varchar as payload
+from ({SQL_REFERENCED_SCAN})
+"""
+
+
+def q_corpus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 ∪ Q2: the Corpus-label listing (key='c:'||contract_id,
+    payload=contract_name) plus the single-corpus TOC lookup
+    (key='t:'||node_id, payload=toc_json)."""
+    a = q_search_corpus(spark, sf_dir).select(
+        F.concat(F.lit("c:"), F.col("contract_id").cast("string")).alias("key"),
+        F.col("contract_name").alias("payload"),
+    )
+    b = q_corpus_toc(spark, sf_dir).select(
+        F.concat(F.lit("t:"), F.col("node_id").cast("string")).alias("key"),
+        F.col("toc_json").alias("payload"),
+    )
+    return a.unionByName(b)
+
+
+SQL_CORPUS_META = f"""
+select 'c:' || contract_id as key, contract_name as payload
+from ({SQL_SEARCH_CORPUS})
+union all
+select 't:' || node_id as key, toc_json as payload
+from ({SQL_CORPUS_TOC})
+"""
+
+
+def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats ⨝ PII scrub over a derived corpus
+    that plants every branch: duplicated footer lines (doc_id%4=0),
+    degenerate repeated bigrams (%4=1), an email + phone (%4=2), and
+    untouched word salad (%4=3). The redacted text is asserted via md5
+    so the scrub itself (not just the counts) is oracle-checked."""
+    from legal_knowledge_graph_spark.operators.quality import (
+        pii_scrub,
+        repetition_stats,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nfooter line\nfooter line"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" spam spam spam spam"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(" contact bob@example.com or 555-123-4567 now"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    rep = repetition_stats(d, "doc_id", "text")
+    pii = pii_scrub(d, "doc_id", "text").select(
+        "doc_id", "n_emails", "n_phones", F.md5("text_redacted").alias("redacted_md5")
+    )
+    return rep.join(pii, "doc_id")
+
+
+SQL_QUALITY_FILTERS = """
+with d as (
+  select doc_id,
+         text || case cast(doc_id % 4 as int)
+           when 0 then chr(10) || 'footer line' || chr(10) || 'footer line'
+           when 1 then ' spam spam spam spam'
+           when 2 then ' contact bob@example.com or 555-123-4567 now'
+           else '' end as text
+  from documents
+),
+lines as (
+  select doc_id, string_split(text, chr(10)) as ls from d
+),
+toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else regexp_split_to_array(lower(trim(text)), '\\s+') end as t
+  from d
+),
+bg as (
+  select doc_id,
+         case when len(t) >= 2
+              then list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+              else []::varchar[] end as bgs,
+         t
+  from toks
+),
+bgx as (
+  select doc_id, unnest(bgs) as g from bg
+),
+topbg as (
+  select doc_id, max(c) as top_count
+  from (select doc_id, g, count(*) as c from bgx group by doc_id, g)
+  group by doc_id
+),
+rep as (
+  select b.doc_id,
+         len(l.ls)::bigint as n_lines,
+         case when len(l.ls) > 0
+              then floor((len(l.ls) - len(list_distinct(l.ls))) * 1000 / len(l.ls))
+              else 0 end::bigint as dup_line_frac_x1000,
+         len(b.bgs)::bigint as n_bigrams,
+         coalesce(t.top_count, 0)::bigint as top_bigram_count,
+         case when len(b.bgs) > 0
+              then floor(coalesce(t.top_count, 0) * 1000 / len(b.bgs))
+              else 0 end::bigint as top_bigram_frac_x1000,
+         case when len(b.t) > 0
+              then floor(len(list_distinct(b.t)) * 1000 / len(b.t))
+              else 0 end::bigint as distinct_token_ratio_x1000
+  from bg b
+  join lines l on l.doc_id = b.doc_id
+  left join topbg t on t.doc_id = b.doc_id
+),
+pii as (
+  select doc_id,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::bigint as n_emails,
+         len(regexp_extract_all(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b'))::bigint as n_phones,
+         md5(regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g')) as redacted_md5
+  from d
+)
+select r.*, p.n_emails, p.n_phones, p.redacted_md5
+from rep r join pii p on p.doc_id = r.doc_id
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram contamination: the eval set is the 5-gram at
+    token offset 3 of every 37th document; the decontamination join
+    must flag (at least) those source documents, counting DISTINCT
+    shared 5-grams per document."""
+    from legal_knowledge_graph_spark.operators.quality import ngram_contamination
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = (
+        d.where("doc_id % 37 = 0")
+        .select(
+            F.expr(
+                "array_join(slice(split(lower(trim(text)), '\\\\s+'), 3, 5), ' ')"
+            ).alias("q")
+        )
+    )
+    return ngram_contamination(d, bench, "doc_id", "text", "q", n=5).select(
+        "doc_id", "n_contaminated_ngrams"
+    )
+
+
+SQL_CONTAMINATION = """
+with toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else regexp_split_to_array(lower(trim(text)), '\\s+') end as t
+  from documents
+),
+bench_grams as (
+  select distinct array_to_string(t[3:7], ' ') as gram
+  from toks where doc_id % 37 = 0 and len(t) >= 7
+),
+doc_grams as (
+  select distinct doc_id, gram
+  from (
+    select doc_id,
+           unnest(case when len(t) >= 5
+                  then list_transform(generate_series(1, len(t) - 4),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                  else []::varchar[] end) as gram
+    from toks
+  )
+)
+select d.doc_id, count(*)::bigint as n_contaminated_ngrams
+from doc_grams d join bench_grams b on b.gram = d.gram
+group by d.doc_id
+"""
+
+
 def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN paths, rows-only (no SQL oracle by design —
     hash-bucketed / centroid-trained recall is engine-specific; the
@@ -2534,6 +2735,10 @@ _MERGED_QUERIES = {
     "toc_components": q_toc_components_merged,
     "benchmark_summary": q_benchmark_summary_merged,
     "ann_approx": q_ann_approx,
+    "sampled_scan": q_sampled_scan,
+    "corpus_meta": q_corpus_meta,
+    "quality_filters": q_quality_filters,
+    "contamination": q_contamination,
 }
 _MERGED_ORACLES = {
     "text_metrics": SQL_TEXT_METRICS,
@@ -2543,27 +2748,35 @@ _MERGED_ORACLES = {
     "toc_components": SQL_TOC_COMPONENTS_MERGED,
     "benchmark_summary": SQL_BENCHMARK_SUMMARY_MERGED,
     # ann_approx: rows-only by design (see docstring)
+    "sampled_scan": SQL_SAMPLED_SCAN,
+    "corpus_meta": SQL_CORPUS_META,
+    "quality_filters": SQL_QUALITY_FILTERS,
+    "contamination": SQL_CONTAMINATION,
 }
 _RETIRED = [
     "summary_rule", "topk_cosine", "simhash", "toc_reshape", "span_pr",
     "lsh_ann", "ivf_ann", "token_stats", "quality_score", "language_id",
     "fingerprint", "bpe_tokens",
+    "deterministic_sample", "referenced_scan",  # -> sampled_scan
+    "search_corpus", "corpus_toc",  # -> corpus_meta
 ]
 
-#: final gate order — the 9 round-2 gate-unverified entries first, then
-#: every remaining (merged) entry; 49 total, under the 50-row ceiling.
+#: final gate order — the 9 round-2 gate-unverified entries first, the
+#: round-3 additions (quality_filters / contamination) next, then every
+#: remaining (merged) entry; 49 total, under the 50-row ceiling.
 _GATE_ORDER = [
     "structure_sequential", "toc_components", "rank_scores",
     "dedup_groups", "sample_per_group", "pack_sequences", "hash_split",
     "simhash_near_dup", "emb_lsh_near_dup_exact",
+    "quality_filters", "contamination",
     "split_intro_body", "mention_counts", "triple_extract",
     "surface_normalize", "entity_link", "cc_components", "tree_agg",
     "next_prev", "dedup_exact", "dedup_minhash", "ngram_jaccard",
     "embedding_near_dup", "text_metrics", "salted_degree", "media_meta",
-    "decode_features", "deterministic_sample", "referenced_scan",
+    "decode_features", "sampled_scan",
     "event_windows", "json_parse", "search_children_topk",
-    "search_neighbors", "resolve_spans", "rollup_agg", "search_corpus",
-    "corpus_toc", "benchmark_validate", "tree_summarize", "align_spans",
+    "search_neighbors", "resolve_spans", "rollup_agg", "corpus_meta",
+    "benchmark_validate", "tree_summarize", "align_spans",
     "corpus_nodes", "vector_attach", "idempotent_ids", "ivf_ann_exact",
     "lsh_ann_exact", "sessionize", "frame_sample", "batch_topk",
     "benchmark_summary", "html_decode", "ann_approx",

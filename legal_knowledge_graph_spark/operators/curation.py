@@ -37,17 +37,26 @@ def near_duplicate_groups(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    pairs: DataFrame | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """(doc_id, group_id, is_canonical): near-duplicate clusters from
     the MinHash tier + connected components. ``group_id`` is the
     smallest doc id reachable through above-threshold pairs (the CC
     convention of operators/cc.py), so ``is_canonical`` is simply
-    ``doc_id == group_id`` — singletons are their own canonical."""
+    ``doc_id == group_id`` — singletons are their own canonical.
+
+    ``pairs`` (optional): a precomputed near-dup pair table with
+    ``doc_a``/``doc_b`` columns (e.g. a materialized/checkpointed
+    ``minhash_near_duplicates`` result). The normal curation pipeline
+    needs BOTH the pair table (audit) and the groups (action); passing
+    it here means the most expensive stage of the pipeline runs once,
+    not twice. When omitted, the MinHash tier is computed internally."""
     from legal_knowledge_graph_spark.operators.cc import connected_components
     from legal_knowledge_graph_spark.operators.dedup import minhash_near_duplicates
 
-    pairs = minhash_near_duplicates(df, id_col, text_col, threshold, **minhash_kwargs)
+    if pairs is None:
+        pairs = minhash_near_duplicates(df, id_col, text_col, threshold, **minhash_kwargs)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges)
     ids = df.select(F.col(id_col).alias("node"))

@@ -50,6 +50,19 @@ def _norm_text(col: Column) -> Column:
     return F.lower(F.trim(col))
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Repartition iff the input is under-partitioned (fewer partitions
+    than half the default parallelism). A single-file parquet corpus
+    otherwise serializes the whole shingle explode onto one core (the
+    explode is the widest stage of every text tier). At cluster scale
+    the input already has thousands of partitions and this is a no-op —
+    it never ADDS a shuffle to a well-partitioned table."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) texts.
 
@@ -138,8 +151,10 @@ def lsh_candidate_pairs(
     Band buckets larger than ``max_block`` are excluded from the
     self-join (a stop-text bucket of B members would emit B^2 pairs).
     Pass a ``metrics`` dict to have the drop COUNTED (keys
-    ``dropped_buckets`` / ``dropped_rows`` — one extra tiny aggregation
-    over the bucket-size table); the DuckDB oracle in
+    ``dropped_buckets`` / ``dropped_rows``); the banded table is
+    localCheckpointed first so the eager metrics aggregation and the
+    self-join share ONE materialization of the shingle -> signature ->
+    banding lineage instead of running it twice. The DuckDB oracle in
     entry_queries._sql_minhash applies the same cap, so the gate stays
     exact under capping."""
     rpb = n_perm // bands
@@ -152,6 +167,12 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
+    if metrics is not None:
+        # the metrics .first() below is an EAGER action; checkpoint so
+        # it doesn't execute the signature lineage separately from the
+        # self-join's execution (ADVICE round 2: metrics must not
+        # double the signature-stage work)
+        banded = banded.localCheckpoint(eager=False)
     sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
     if metrics is not None:
         dropped = (
@@ -273,8 +294,6 @@ def jaccard_verify_bitset(
         M[i, : len(m)] |= m
     M = M[:n_docs]
     M64 = M.view(np.uint64)
-    b_M = spark.sparkContext.broadcast(M64)
-    b_row = spark.sparkContext.broadcast(row_of)
 
     c55 = np.uint64(0x5555555555555555)
     c33 = np.uint64(0x3333333333333333)
@@ -288,6 +307,30 @@ def jaccard_verify_bitset(
         x = (x + (x >> four)) & c0F
         return ((x * c01) >> s56).sum(axis=1).astype("int64")
 
+    # per-doc set sizes = mask popcounts, computed ONCE at build time:
+    # union then comes from |A| + |B| - |A&B|, so the per-pair hot path
+    # popcounts only the intersection — half the SWAR work and no A|B
+    # temporary allocation.
+    row_sizes = _popcount_rows(M64)
+
+    # id -> mask-row mapping: for integer ids, a sorted array +
+    # searchsorted (fully vectorized) replaces the pandas .map(dict)
+    # per-pair lookup — at ~1 us/lookup the dict path cost seconds on
+    # a 1M-pair candidate flood. Non-integer ids keep the dict path.
+    ids_arr = np.array(list(row_of.keys()))
+    int_ids = ids_arr.dtype.kind in "iu"
+    if int_ids:
+        sort_order = np.argsort(ids_arr, kind="stable")
+        sorted_ids = ids_arr[sort_order]
+        sorted_rows = np.fromiter(
+            (row_of[i] for i in ids_arr[sort_order]), dtype="int64", count=len(ids_arr)
+        )
+        b_map = spark.sparkContext.broadcast((sorted_ids, sorted_rows))
+    else:
+        b_map = spark.sparkContext.broadcast(row_of)
+    b_M = spark.sparkContext.broadcast(M64)
+    b_sz = spark.sparkContext.broadcast(row_sizes)
+
     out_schema = T.StructType(
         [
             T.StructField("doc_a", sh.schema["doc_id"].dataType, False),
@@ -298,16 +341,27 @@ def jaccard_verify_bitset(
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        MM, rowof = b_M.value, b_row.value
+        MM, mapping, SZ = b_M.value, b_map.value, b_sz.value
+        if int_ids:
+            s_ids, s_rows = mapping
+
+            def to_rows(col: "pd.Series") -> "np.ndarray":
+                return s_rows[np.searchsorted(s_ids, col.to_numpy())]
+
+        else:
+
+            def to_rows(col: "pd.Series") -> "np.ndarray":
+                return col.map(mapping).to_numpy(dtype="int64")
+
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=["doc_a", "doc_b", "inter_size", "union_size"])
                 continue
-            ia = pdf["doc_a"].map(rowof).to_numpy(dtype="int64")
-            ib = pdf["doc_b"].map(rowof).to_numpy(dtype="int64")
+            ia = to_rows(pdf["doc_a"])
+            ib = to_rows(pdf["doc_b"])
             A, B = MM[ia], MM[ib]
             inter = _popcount_rows(A & B)
-            union = _popcount_rows(A | B)
+            union = SZ[ia] + SZ[ib] - inter
             yield pd.DataFrame(
                 {
                     "doc_a": pdf["doc_a"],
@@ -366,8 +420,9 @@ def minhash_near_duplicates(
     # The shingle explosion feeds three consumers (signatures, sizes,
     # intersection); localCheckpoint materializes it once instead of
     # re-exploding ~len(text) rows per doc three times. On a cluster
-    # this is a cached/checkpointed intermediate table.
-    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # this is a cached/checkpointed intermediate table. _ensure_parallel
+    # first: a single-file corpus would otherwise explode serially.
+    sh = shingles(_ensure_parallel(df), id_col, text_col, k).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, n_perm)
     pairs = lsh_candidate_pairs(sigs, n_perm, bands, max_block, metrics)
 
@@ -448,7 +503,7 @@ def simhash_near_duplicates(
     if max_hamming > bands - 1:
         raise ValueError("pigeonhole soundness needs max_hamming <= bands - 1")
     rpb = SIMHASH_BITS // bands
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(_ensure_parallel(df), id_col, text_col)
     band_keys = [
         (
             F.lit(b * (1 << rpb))
@@ -498,6 +553,7 @@ def ngram_jaccard_pairs(
     (J(A,B) <= min|.|/max|.|): pairs whose shingle-set sizes differ by
     more than the threshold ratio are dropped before the verify — the
     tiny per-doc size table broadcasts."""
+    df = _ensure_parallel(df)
     sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
     a = blocks.select(F.col("doc_id").alias("doc_a"), "blk")
@@ -564,10 +620,14 @@ def embedding_near_duplicates(
 
     base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     schema_empty = "doc_a long, doc_b long"
-    head = base.select(F.size("v").alias("d")).first()
-    if head is None:
+    # dim from MAX(size) over the whole column, not the first row: a
+    # null first vector gives size -1 and a ragged corpus would pick an
+    # undersized dim — either silently reverts the byte cap to the
+    # blind row budget. The max is conservative for the cap.
+    head = base.agg(F.max(F.size("v")).alias("d")).first()
+    if head is None or head["d"] is None or head["d"] <= 0:
         return df.sparkSession.createDataFrame([], schema_empty)
-    dim = max(int(head["d"]), 1)
+    dim = int(head["d"])
     cap = min(max_broadcast_rows, max_broadcast_bytes // (dim * 8))
     pdf_all = base.limit(cap + 1).toPandas()
     if len(pdf_all) > cap:

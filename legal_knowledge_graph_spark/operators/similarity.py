@@ -105,16 +105,18 @@ def lsh_top_k(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
-    multi_probe: int = 1,
+    multi_probe: int = 2,
 ) -> DataFrame:
     """Approximate top-k with **multi-probe**: scan the query's LSH
     bucket plus every bucket within Hamming distance ``multi_probe``
     of it (the standard multi-probe LSH recipe — a vector whose sign
-    differs on one near-zero projection lands one bit-flip away). At
-    ``multi_probe=1`` that is ``n_planes + 1`` of the ``2^n_planes``
-    buckets — e.g. 9/256 of the data at 8 planes — which multiplies
-    recall several-fold over the single-bucket probe for a ~9x smaller
-    scan than brute force. At scale the bucketed table is written
+    differs on one near-zero projection lands one bit-flip away). The
+    default ``multi_probe=2`` scans ``1 + n_planes + C(n_planes, 2)``
+    of the ``2^n_planes`` buckets — 37/256 at 8 planes, still a ~7x
+    smaller scan than brute force — chosen as the retrieval-backbone
+    operating point (recall 0.39 vs 0.23 at probe 1 on the worst-case
+    near-uniform bench vectors; real clustered embeddings sit much
+    higher — see BASELINE.md). At scale the bucketed table is written
     partitioned by ``lsh_bucket`` so the probe set prunes the scan."""
     import itertools
 
@@ -229,10 +231,13 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    head = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
-    if head is None:
+    # max over the column, not the first row (a null/short first vector
+    # would silently undersize the dim-aware cap — same guard as
+    # dedup.embedding_near_duplicates)
+    head = vectors.agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    if head is None or head["d"] is None or head["d"] <= 0:
         return []
-    dim = max(int(head["d"]), 1)
+    dim = int(head["d"])
     cap = max(min(sample_limit, max_sample_bytes // (dim * 8)), k)
     sample = (
         vectors.select(F.md5(F.col(vec_col).cast("string")).alias("_k"), vec_col)
@@ -304,11 +309,15 @@ def ivf_top_k(
     query_vector: list[float],
     centroids: list[list[float]],
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int = 8,
 ) -> DataFrame:
     """Approximate top-k: score the query against the centroids, scan
     only the ``n_probe`` nearest cells, exact top-k within. Recall
-    rises with n_probe (n_probe == len(centroids) is exact)."""
+    rises with n_probe (n_probe == len(centroids) is exact). The
+    default ``n_probe=8`` is the retrieval-backbone operating point
+    (recall@10 0.77 vs 0.59 at probe 4 on the worst-case near-uniform
+    bench vectors, still a k/n_probe-fold scan reduction at the 64-cell
+    default; see BASELINE.md)."""
     import numpy as np
 
     C = np.array(centroids, dtype="float64")

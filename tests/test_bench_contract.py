@@ -14,6 +14,10 @@ def test_bench_emits_one_json_line():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
+        # contract shape check only — one run per query keeps the suite
+        # fast; the driver's real invocation uses the median-of-3
+        # default
+        SPARK_GRAFT_BENCH_N="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -33,3 +37,6 @@ def test_bench_emits_one_json_line():
     assert payload["queries"] and all(v >= 0 for v in payload["queries"].values())
     assert payload["pipeline"]["triples"] > 0
     assert payload["pipeline"]["triples_per_sec"] > 0
+    # raw per-run numbers for auditability (noise-proofing contract)
+    assert set(payload["runs"]["queries"]) == set(payload["queries"])
+    assert len(payload["runs"]["pipeline_sec"]) >= 1

@@ -38,6 +38,29 @@ def test_near_duplicate_groups_clusters_planted_dup(spark, docs):
     assert per_group.where("n_canon <> 1").count() == 0
 
 
+def test_near_duplicate_groups_reuses_supplied_pairs(spark, docs, monkeypatch):
+    """Passing a precomputed pair table must skip the MinHash tier
+    entirely (the round-2 double-compute finding): the internal
+    minhash_near_duplicates call is poisoned, so any fallback would
+    raise, and the groups must reflect exactly the supplied pairs."""
+    from legal_knowledge_graph_spark.operators import dedup as dedup_mod
+
+    def _boom(*a, **k):  # pragma: no cover - would fail the test
+        raise AssertionError("minhash tier executed despite supplied pairs")
+
+    monkeypatch.setattr(dedup_mod, "minhash_near_duplicates", _boom)
+    d = docs.select("doc_id", "text").where("doc_id < 10")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (1, 5)], "doc_a long, doc_b long"
+    )
+    groups = near_duplicate_groups(d, "doc_id", "text", pairs=pairs)
+    rows = {r["doc_id"]: r for r in groups.collect()}
+    assert len(rows) == 10
+    assert rows[0]["group_id"] == rows[3]["group_id"] == rows[7]["group_id"] == 0
+    assert rows[1]["group_id"] == rows[5]["group_id"] == 1
+    assert rows[2]["group_id"] == 2 and rows[2]["is_canonical"]
+
+
 def test_sample_per_group_caps_and_is_deterministic(spark, docs):
     d = docs.select("doc_id", "source")
     s1 = sample_per_group(d, "source", "doc_id", 3)
