@@ -144,6 +144,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     max_block: int = DEFAULT_MAX_BLOCK,
     metrics: dict | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Banded LSH: pair (a, b) is a candidate iff some band's rows all
     agree. Returns (doc_a, doc_b), doc_a < doc_b.
@@ -164,9 +165,20 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    return _banded_pairs(
+        sigs.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key")),
+        max_block,
+        metrics,
+        distinct,
     )
+
+
+def _banded_pairs(
+    banded: DataFrame,
+    max_block: int,
+    metrics: dict | None,
+    distinct: bool = True,
+) -> DataFrame:
     if metrics is not None:
         # the metrics .first() below is an EAGER action; checkpoint so
         # it doesn't execute the signature lineage separately from the
@@ -188,12 +200,18 @@ def lsh_candidate_pairs(
     banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
-    return (
+    pairs = (
         a.join(b, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # ``distinct=False`` callers dedupe AFTER the (idempotent) verify:
+    # a pair agreeing in k bands appears k times here, but verifying it
+    # k times yields k identical rows, so the distinct moves to the
+    # tiny verified output instead of shuffling the full candidate
+    # flood (the multi-band duplication factor is small — bounded by
+    # ``bands``).
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard_verify_bitset(
@@ -424,7 +442,10 @@ def minhash_near_duplicates(
     # first: a single-file corpus would otherwise explode serially.
     sh = shingles(_ensure_parallel(df), id_col, text_col, k).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, n_perm)
-    pairs = lsh_candidate_pairs(sigs, n_perm, bands, max_block, metrics)
+    # distinct deferred: the bitset verify is idempotent per pair, so
+    # multi-band duplicate candidates dedupe on the (tiny) verified
+    # output instead of shuffling the full candidate flood
+    pairs = lsh_candidate_pairs(sigs, n_perm, bands, max_block, metrics, distinct=False)
 
     # Exact size-ratio prefilter (lossless): J(A,B) <= min|.|/max|.|,
     # so a pair whose shingle-set sizes differ by more than the
@@ -445,12 +466,16 @@ def minhash_near_duplicates(
 
     # auto-pick the verify plan: bitset popcount while the gram vocab
     # is bounded (char-k-grams usually are), shuffle-join verify beyond.
+    # The bitset path verifies duplicate candidates idempotently and
+    # dedupes the (small) thresholded output; the shuffle-join fallback
+    # needs distinct input (its gram-join groupBy would multiply
+    # intersection counts for repeated pairs).
     verified = jaccard_verify_bitset(sh, pairs)
     if verified is None:
-        verified = jaccard_verify(sh, pairs)
+        verified = jaccard_verify(sh, pairs.distinct())
     return verified.where(
         F.col("inter_size") >= F.lit(threshold) * F.col("union_size")
-    )
+    ).distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -514,16 +539,10 @@ def simhash_near_duplicates(
     banded = fps.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
-    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bs"))
-    banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
-    a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
-    cand = (
-        a.join(b, "band_key")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # distinct deferred to the (tiny) thresholded output — the
+    # Hamming verify is idempotent per pair (same rationale as the
+    # MinHash tier)
+    cand = _banded_pairs(banded, max_block, None, distinct=False)
     fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
@@ -534,6 +553,7 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
