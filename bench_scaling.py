@@ -86,9 +86,26 @@ def main() -> None:
     generate_pages(setup, n_pages).write.mode("overwrite").parquet(pages_path)
     setup.stop()
 
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
     try:
-        t_n, trip_n, fp_n = run_once(n, pages_path, n_pages)
-        t_4n, trip_4n, fp_4n = run_once(4 * n, pages_path, n_pages)
+        # min over reps per leg: the efficiency metric is a RATIO of
+        # two wall-clock numbers measured minutes apart on a shared VM
+        # (±20% noise band, BASELINE.md) — the per-leg minimum is the
+        # best estimate of the machine-limited time, and the raw reps
+        # are emitted for auditability.
+        runs_n, runs_4n = [], []
+        trip_n = trip_4n = None
+        fp_n = fp_4n = None
+        for _ in range(reps):
+            t, trips, fp = run_once(n, pages_path, n_pages)
+            runs_n.append(round(t, 2))
+            assert trip_n in (None, trips) and fp_n in (None, fp)
+            trip_n, fp_n = trips, fp
+            t, trips, fp = run_once(4 * n, pages_path, n_pages)
+            runs_4n.append(round(t, 2))
+            assert trip_4n in (None, trips) and fp_4n in (None, fp)
+            trip_4n, fp_4n = trips, fp
+        t_n, t_4n = min(runs_n), min(runs_4n)
         assert trip_n == trip_4n, "parallelism changed the result!"
         assert fp_n == fp_4n, f"content fingerprints diverged: {fp_n} != {fp_4n}"
         tp_n, tp_4n = trip_n / t_n, trip_4n / t_4n
@@ -104,6 +121,7 @@ def main() -> None:
                     "tp_n": round(tp_n, 2),
                     "tp_4n": round(tp_4n, 2),
                     "efficiency": round(tp_4n / (4 * tp_n), 3),
+                    "runs": {"t_n": runs_n, "t_4n": runs_4n},
                 }
             )
         )
