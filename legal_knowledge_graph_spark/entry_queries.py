@@ -2716,6 +2716,50 @@ group by d.doc_id
 """
 
 
+def q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop traversal (operators/traverse.k_hop_neighbors):
+    3-hop undirected BFS from sources {1,2,3} over the same derived
+    edge set as cc_components; the oracle is the recursive-CTE
+    shortest-hop query (UNION-deduped, so (node, dist) levels stay
+    bounded)."""
+    from legal_knowledge_graph_spark.operators.traverse import k_hop_neighbors
+
+    edges = (
+        _lineitem(spark, sf_dir)
+        .where("l_linenumber = 1")
+        .select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    return k_hop_neighbors(edges, sources, 3, direction="both").select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
+SQL_K_HOP = """
+with recursive e as (
+  select distinct l_orderkey % 500 as src, l_partkey % 500 as dst
+  from lineitem where l_linenumber = 1
+),
+und as (
+  select src as u, dst as v from e where src <> dst
+  union
+  select dst, src from e where src <> dst
+),
+walk(node, dist) as (
+  select unnest([1, 2, 3])::bigint as node, 0 as dist
+  union
+  select und.v, walk.dist + 1
+  from walk join und on und.u = walk.node
+  where walk.dist < 3
+)
+select node, min(dist)::int as dist from walk group by node
+"""
+
+
 def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN paths, rows-only (no SQL oracle by design —
     hash-bucketed / centroid-trained recall is engine-specific; the
@@ -2739,6 +2783,7 @@ _MERGED_QUERIES = {
     "corpus_meta": q_corpus_meta,
     "quality_filters": q_quality_filters,
     "contamination": q_contamination,
+    "k_hop": q_k_hop,
 }
 _MERGED_ORACLES = {
     "text_metrics": SQL_TEXT_METRICS,
@@ -2752,6 +2797,7 @@ _MERGED_ORACLES = {
     "corpus_meta": SQL_CORPUS_META,
     "quality_filters": SQL_QUALITY_FILTERS,
     "contamination": SQL_CONTAMINATION,
+    "k_hop": SQL_K_HOP,
 }
 _RETIRED = [
     "summary_rule", "topk_cosine", "simhash", "toc_reshape", "span_pr",
@@ -2768,7 +2814,7 @@ _GATE_ORDER = [
     "structure_sequential", "toc_components", "rank_scores",
     "dedup_groups", "sample_per_group", "pack_sequences", "hash_split",
     "simhash_near_dup", "emb_lsh_near_dup_exact",
-    "quality_filters", "contamination",
+    "quality_filters", "contamination", "k_hop",
     "split_intro_body", "mention_counts", "triple_extract",
     "surface_normalize", "entity_link", "cc_components", "tree_agg",
     "next_prev", "dedup_exact", "dedup_minhash", "ngram_jaccard",

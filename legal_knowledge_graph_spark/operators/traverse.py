@@ -1,0 +1,73 @@
+"""Bounded multi-hop graph traversal (k-hop BFS) over an edge table.
+
+The query surface's Q3/Q4 are 1-hop expansions; a KG consumer also
+needs bounded multi-hop neighborhoods ("everything within k CHILD/NEXT
+hops of these nodes") — e.g. subgraph extraction around an entity, or
+context windows for retrieval. Distributed form: frontier-expansion
+BFS — k rounds of (frontier ⋈ edges) with a min-distance aggregate,
+``localCheckpoint`` per round to cut lineage (the same
+iterative-fixpoint discipline as operators/cc.py). Each round is one
+shuffle; the frontier only ever holds NEWLY reached nodes, so work is
+proportional to the discovered neighborhood, not the graph.
+
+At 100 TB scale the edge table is the big side and stays put: the
+frontier (small) is the probe side of each join and broadcasts while
+it fits; distances converge monotonically so no revisits occur (a
+node enters the result at its minimum distance and the anti-join
+drops later sightings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    direction: str = "out",
+) -> DataFrame:
+    """edges(src, dst) + sources(node) -> (node, dist) for every node
+    reachable within ``k`` hops; ``dist`` is the MINIMUM hop count
+    (sources themselves at dist 0). ``direction``: 'out' follows
+    src->dst, 'in' follows dst->src, 'both' treats edges as
+    undirected.
+
+    Exact BFS semantics (engine-portable): the DuckDB oracle is the
+    recursive-CTE shortest-hop query in entry_queries.SQL_K_HOP.
+    """
+    if direction == "out":
+        step = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    elif direction == "in":
+        step = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    elif direction == "both":
+        step = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    else:
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    step = step.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+
+    reached = (
+        sources.select(F.col("node")).distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = reached
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(step, frontier["node"] == step["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        # materialize + converge check in one action (the cc.py trick)
+        if nxt.count() == 0:
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return reached

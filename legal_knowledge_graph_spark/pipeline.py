@@ -106,15 +106,24 @@ def run_pipeline(
         "chunks_summarized", lambda: summarize_tree(chunks), force=force
     )
 
+    # absolute_chunks joins the chunk tree back to the extracted pages
+    # (span re-basing) and feeds BOTH the nodes and edges stages; the
+    # lazy checkpoint materializes that join once instead of once per
+    # consumer. On resume (both stages committed) it is never computed.
+    chunks_abs = absolute_chunks(chunks_sum, extracted).localCheckpoint(eager=False)
+
     def _nodes() -> DataFrame:
         doc_sum = document_summaries(chunks_sum)
         toc = build_toc(chunks_sum)
-        chunks_abs = absolute_chunks(chunks_sum, extracted)
         nodes = (
             corpus_nodes(extracted, doc_sum, toc)
             .unionByName(chunk_nodes(chunks_abs))
             .unionByName(entity_nodes(canonical_map))
         )
+        # attach_vectors self-joins its input (map-stage embeddings on
+        # one branch, full rows on the other) — checkpoint the union so
+        # the corpus/chunk/entity build isn't executed once per branch.
+        nodes = nodes.localCheckpoint(eager=False)
         # Stage boundary 3: materialize — cluster by id bucket so the
         # bucketed write produces one file set per bucket.
         return attach_vectors(nodes, dim=embed_dim).repartition(F.col("bucket"))
@@ -122,7 +131,6 @@ def run_pipeline(
     nodes = cat.stage("nodes", _nodes, partition_col="bucket", force=force)
 
     def _edges() -> DataFrame:
-        chunks_abs = absolute_chunks(chunks_sum, extracted)
         return finish_edges(
             tree_edges(chunks_abs).unionByName(triple_edges(triples))
         ).repartition(F.col("bucket"))
