@@ -28,8 +28,20 @@ import json
 import multiprocessing as mp
 import time
 
+_BARRIER = None
+
+
+def _init(barrier) -> None:
+    global _BARRIER
+    _BARRIER = barrier
+
 
 def _work(_: int) -> float:
+    # start barrier: every worker begins its timed loop simultaneously,
+    # so each task truly runs under n-way contention (with chunksize
+    # scheduling alone, an early worker can grab a second task after
+    # peers finish, understating contention and inflating the ceiling)
+    _BARRIER.wait()
     t0 = time.time()
     h = b"x" * 4096
     for _ in range(120000):
@@ -40,8 +52,9 @@ def _work(_: int) -> float:
 def main() -> None:
     out = {}
     for n in (1, 2, 8, 32):
-        with mp.Pool(n) as p:
-            times = p.map(_work, range(n))
+        barrier = mp.Barrier(n)
+        with mp.Pool(n, initializer=_init, initargs=(barrier,)) as p:
+            times = p.map(_work, range(n), chunksize=1)
         out[str(n)] = round(sum(times) / len(times), 3)
     out["ratio_2_to_8"] = round(out["2"] / out["8"], 3)
     print(json.dumps({"metric": "host_percore_sec_by_concurrency", **out}))

@@ -46,6 +46,19 @@ def _fingerprint(df):
     )
 
 
+def _host_probe(concurrency: int) -> float:
+    """Mean sec/task of the fixed pure-CPU workload at ``concurrency``
+    simultaneous processes (barrier-started) — see bench_cpuprobe.py."""
+    import multiprocessing as mp
+
+    from bench_cpuprobe import _init, _work
+
+    barrier = mp.Barrier(concurrency)
+    with mp.Pool(concurrency, initializer=_init, initargs=(barrier,)) as p:
+        times = p.map(_work, range(concurrency), chunksize=1)
+    return round(sum(times) / len(times), 3)
+
+
 def run_once(cores: int, pages_path: str, n_expected: int) -> tuple[float, int, tuple]:
     from legal_knowledge_graph_spark.pipeline import run_pipeline
     from legal_knowledge_graph_spark.session import get_spark
@@ -94,13 +107,16 @@ def main() -> None:
         # best estimate of the machine-limited time, and the raw reps
         # are emitted for auditability.
         runs_n, runs_4n = [], []
+        probes_n, probes_4n = [], []
         trip_n = trip_4n = None
         fp_n = fp_4n = None
         for _ in range(reps):
+            probes_n.append(_host_probe(n))
             t, trips, fp = run_once(n, pages_path, n_pages)
             runs_n.append(round(t, 2))
             assert trip_n in (None, trips) and fp_n in (None, fp)
             trip_n, fp_n = trips, fp
+            probes_4n.append(_host_probe(4 * n))
             t, trips, fp = run_once(4 * n, pages_path, n_pages)
             runs_4n.append(round(t, 2))
             assert trip_4n in (None, trips) and fp_4n in (None, fp)
@@ -122,6 +138,17 @@ def main() -> None:
                     "tp_4n": round(tp_4n, 2),
                     "efficiency": round(tp_4n / (4 * tp_n), 3),
                     "runs": {"t_n": runs_n, "t_4n": runs_4n},
+                    # contemporaneous host per-core throughput samples
+                    # (sec/task at each leg's concurrency, taken right
+                    # before the leg): the host's all-core penalty is
+                    # intermittent, so the ceiling that bounds what a
+                    # perfectly scaling program could measure must be
+                    # sampled alongside the legs (see bench_cpuprobe.py
+                    # and BASELINE.md round-3 scaling notes)
+                    "host_probe": {"at_n": probes_n, "at_4n": probes_4n},
+                    "host_ceiling": round(
+                        min(probes_n) / max(probes_4n), 3
+                    ),
                 }
             )
         )

@@ -2808,8 +2808,12 @@ _RETIRED = [
 ]
 
 #: final gate order — the 9 round-2 gate-unverified entries first, the
-#: round-3 additions (quality_filters / contamination) next, then every
-#: remaining (merged) entry; 49 total, under the 50-row ceiling.
+#: round-3 additions (quality_filters / contamination / k_hop) next,
+#: then every remaining (merged) entry. EXACTLY 50 entries — AT the
+#: driver's verified-first-50 ceiling with ZERO slack: adding a 51st
+#: entry requires merging two existing ones first (the assert below
+#: enforces it). ann_approx (the one oracle-less entry) sits last so
+#: its rows-only row is the one at the boundary.
 _GATE_ORDER = [
     "structure_sequential", "toc_components", "rank_scores",
     "dedup_groups", "sample_per_group", "pack_sequences", "hash_split",

@@ -57,6 +57,15 @@ def near_duplicate_groups(
 
     if pairs is None:
         pairs = minhash_near_duplicates(df, id_col, text_col, threshold, **minhash_kwargs)
+    elif threshold != 0.8 or minhash_kwargs:
+        # the supplied table was built with ITS OWN knobs — accepting
+        # conflicting ones here would silently cluster at the wrong
+        # threshold while the caller believes otherwise
+        raise ValueError(
+            "near_duplicate_groups: pass EITHER a precomputed pairs table "
+            "OR threshold/minhash settings, not both (the supplied pairs "
+            "already encode their threshold)"
+        )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges)
     ids = df.select(F.col(id_col).alias("node"))

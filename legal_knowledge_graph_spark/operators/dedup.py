@@ -58,7 +58,7 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     the input already has thousands of partitions and this is a no-op —
     it never ADDS a shuffle to a well-partitioned table."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    if target > 1 and df.rdd.getNumPartitions() < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -364,7 +364,19 @@ def jaccard_verify_bitset(
             s_ids, s_rows = mapping
 
             def to_rows(col: "pd.Series") -> "np.ndarray":
-                return s_rows[np.searchsorted(s_ids, col.to_numpy())]
+                vals = col.to_numpy()
+                idx = np.searchsorted(s_ids, vals)
+                # searchsorted returns an INSERTION index for absent
+                # ids — clip + verify so an id missing from the mask
+                # table fails loudly (like the dict path did) instead
+                # of silently reading another document's mask
+                idx = np.minimum(idx, len(s_ids) - 1)
+                if not np.array_equal(s_ids[idx], vals):
+                    missing = vals[s_ids[idx] != vals][:5]
+                    raise KeyError(
+                        f"pair ids absent from the shingle table: {missing!r}"
+                    )
+                return s_rows[idx]
 
         else:
 
@@ -640,11 +652,13 @@ def embedding_near_duplicates(
 
     base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     schema_empty = "doc_a long, doc_b long"
-    # dim from MAX(size) over the whole column, not the first row: a
-    # null first vector gives size -1 and a ragged corpus would pick an
-    # undersized dim — either silently reverts the byte cap to the
-    # blind row budget. The max is conservative for the cap.
-    head = base.agg(F.max(F.size("v")).alias("d")).first()
+    # dim from MAX(size) over a BOUNDED prefix, not the first row (a
+    # null first vector gives size -1 and silently reverts the byte
+    # cap to the blind row budget) and not the full column (that would
+    # add an O(N) scan before the capped fetch, breaking this
+    # function's one-bounded-action discipline). 64k rows is enough to
+    # see past leading nulls/ragged rows on any sane corpus.
+    head = base.limit(65536).agg(F.max(F.size("v")).alias("d")).first()
     if head is None or head["d"] is None or head["d"] <= 0:
         return df.sparkSession.createDataFrame([], schema_empty)
     dim = int(head["d"])

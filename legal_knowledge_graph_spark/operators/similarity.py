@@ -231,10 +231,11 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    # max over the column, not the first row (a null/short first vector
-    # would silently undersize the dim-aware cap — same guard as
-    # dedup.embedding_near_duplicates)
-    head = vectors.agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    # max over a BOUNDED prefix, not the first row (a null/short first
+    # vector would silently undersize the dim-aware cap) and not the
+    # full column (no O(N) scan before the capped sample — same
+    # discipline as dedup.embedding_near_duplicates)
+    head = vectors.limit(65536).agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
     if head is None or head["d"] is None or head["d"] <= 0:
         return []
     dim = int(head["d"])
