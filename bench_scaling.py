@@ -121,7 +121,9 @@ def main() -> None:
             runs_4n.append(round(t, 2))
             assert trip_4n in (None, trips) and fp_4n in (None, fp)
             trip_4n, fp_4n = trips, fp
-        t_n, t_4n = min(runs_n), min(runs_4n)
+        i_n = runs_n.index(min(runs_n))
+        i_4n = runs_4n.index(min(runs_4n))
+        t_n, t_4n = runs_n[i_n], runs_4n[i_4n]
         assert trip_n == trip_4n, "parallelism changed the result!"
         assert fp_n == fp_4n, f"content fingerprints diverged: {fp_n} != {fp_4n}"
         tp_n, tp_4n = trip_n / t_n, trip_4n / t_4n
@@ -146,8 +148,29 @@ def main() -> None:
                     # sampled alongside the legs (see bench_cpuprobe.py
                     # and BASELINE.md round-3 scaling notes)
                     "host_probe": {"at_n": probes_n, "at_4n": probes_4n},
-                    "host_ceiling": round(
-                        min(probes_n) / max(probes_4n), 3
+                    # per-rep (probe, wallclock) pairings for audit —
+                    # no free choice of numerator/denominator rep
+                    "leg_pairs": {
+                        "at_n": list(zip(probes_n, runs_n)),
+                        "at_4n": list(zip(probes_4n, runs_4n)),
+                    },
+                    # the ceiling is the probe ratio from the SAME reps
+                    # whose wall-clocks define the efficiency (the min
+                    # rep per leg) — a ceiling assembled from the
+                    # fastest low-concurrency probe and slowest
+                    # high-concurrency probe across DIFFERENT reps
+                    # would overstate the host penalty by construction
+                    "host_ceiling": round(probes_n[i_n] / probes_4n[i_4n], 3),
+                    # median-based alternative, robust to a single
+                    # noisy probe sample
+                    "host_ceiling_median": round(
+                        sorted(probes_n)[len(probes_n) // 2]
+                        / sorted(probes_4n)[len(probes_4n) // 2],
+                        3,
+                    ),
+                    "efficiency_engine": round(
+                        (tp_4n / (4 * tp_n)) / (probes_n[i_n] / probes_4n[i_4n]),
+                        3,
                     ),
                 }
             )

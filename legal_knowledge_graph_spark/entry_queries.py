@@ -2381,7 +2381,18 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = language_id(d, "doc_id", "text").select("doc_id", "lang_pred", "lang_hits")
     fp = fingerprint(d, "doc_id", "text").select("doc_id", "fp")
     bpe = q_bpe_tokens(spark, sf_dir)
-    return ts.join(qs, "doc_id").join(li, "doc_id").join(fp, "doc_id").join(bpe, "doc_id")
+    # FULL-outer joins, not inner: all five operators emit one row per
+    # doc, so on healthy data this is identical to an inner join — but
+    # if any sub-operator ever DROPS docs, the null-padded row hashes
+    # differently from the oracle (whose sub-SQLs don't drop) and the
+    # gate fails loudly instead of silently shrinking all five
+    # assertions to the intersection.
+    return (
+        ts.join(qs, "doc_id", "full")
+        .join(li, "doc_id", "full")
+        .join(fp, "doc_id", "full")
+        .join(bpe, "doc_id", "full")
+    )
 
 
 SQL_TEXT_METRICS = f"""

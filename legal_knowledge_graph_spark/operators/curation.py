@@ -36,7 +36,7 @@ def near_duplicate_groups(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.8,
+    threshold: float | None = None,
     pairs: DataFrame | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
@@ -56,11 +56,16 @@ def near_duplicate_groups(
     from legal_knowledge_graph_spark.operators.dedup import minhash_near_duplicates
 
     if pairs is None:
-        pairs = minhash_near_duplicates(df, id_col, text_col, threshold, **minhash_kwargs)
-    elif threshold != 0.8 or minhash_kwargs:
+        pairs = minhash_near_duplicates(
+            df, id_col, text_col, 0.8 if threshold is None else threshold,
+            **minhash_kwargs,
+        )
+    elif threshold is not None or minhash_kwargs:
         # the supplied table was built with ITS OWN knobs — accepting
         # conflicting ones here would silently cluster at the wrong
-        # threshold while the caller believes otherwise
+        # threshold while the caller believes otherwise. None-sentinel
+        # (not the 0.8 default value) so an EXPLICITLY passed default
+        # is caught too.
         raise ValueError(
             "near_duplicate_groups: pass EITHER a precomputed pairs table "
             "OR threshold/minhash settings, not both (the supplied pairs "

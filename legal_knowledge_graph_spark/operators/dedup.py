@@ -658,8 +658,22 @@ def embedding_near_duplicates(
     # add an O(N) scan before the capped fetch, breaking this
     # function's one-bounded-action discipline). 64k rows is enough to
     # see past leading nulls/ragged rows on any sane corpus.
-    head = base.limit(65536).agg(F.max(F.size("v")).alias("d")).first()
+    head = (
+        base.limit(65536)
+        .agg(F.max(F.size("v")).alias("d"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
     if head is None or head["d"] is None or head["d"] <= 0:
+        if head is not None and int(head["n"]) > 0:
+            # rows exist but the probed prefix holds no valid vector —
+            # returning "no duplicates" here would silently pass bad
+            # input through; make the caller decide
+            raise ValueError(
+                "embedding_near_duplicates: first "
+                f"{int(head['n'])} rows contain no non-empty vector "
+                f"column {vec_col!r} — input looks malformed (all-null "
+                "or empty arrays), refusing to return an empty result"
+            )
         return df.sparkSession.createDataFrame([], schema_empty)
     dim = int(head["d"])
     cap = min(max_broadcast_rows, max_broadcast_bytes // (dim * 8))

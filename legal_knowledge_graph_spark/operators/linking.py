@@ -151,15 +151,53 @@ def _pair_score(a: str, b: str) -> float:
     return difflib.SequenceMatcher(None, a, b).ratio()
 
 
-def score_pairs(pairs: DataFrame) -> DataFrame:
-    """Batched fuzzy scoring of candidate pairs (Arrow batches)."""
+def score_pairs(pairs: DataFrame, threshold: float | None = None) -> DataFrame:
+    """Batched fuzzy scoring of candidate pairs (Arrow batches).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    With ``threshold`` set, only pairs scoring >= threshold are emitted
+    (their scores are EXACT ratios) and the per-pair cost drops via the
+    same pruning ladder the align kernel proves safe under a difflib
+    oracle (operators/align.py:100-118): numeric gate, then the length
+    upper bound ``2*min(la,lb)/(la+lb)``, then ``real_quick_ratio`` /
+    ``quick_ratio`` — each an upper bound on ``ratio()``, so a pair any
+    rung proves below threshold cannot be kept and skips the quadratic
+    ``ratio()`` entirely. ``threshold=None`` scores every pair exactly
+    (the audit path; tests assert the two paths agree on kept pairs).
+    """
+
+    def run_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             scores = [_pair_score(a, b) for a, b in zip(pdf["left"], pdf["right"])]
             yield pd.DataFrame({"left": pdf["left"], "right": pdf["right"], "score": scores})
 
-    return pairs.mapInPandas(run, _PAIR_SCHEMA)
+    if threshold is None or threshold <= 0.0:
+        # thr <= 0 keeps everything (even numeric-gated zeros), so the
+        # pruned path's skip-on-gate would change the result — score all
+        out = pairs.mapInPandas(run_all, _PAIR_SCHEMA)
+        return out if threshold is None else out.where(F.col("score") >= threshold)
+
+    thr = float(threshold)
+
+    def run_pruned(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep_l, keep_r, keep_s = [], [], []
+            for a, b in zip(pdf["left"], pdf["right"]):
+                if _NUM_RE.findall(a) != _NUM_RE.findall(b):
+                    continue  # numeric gate: score would be 0.0
+                la, lb = len(a), len(b)
+                if la + lb > 0 and 2.0 * min(la, lb) / (la + lb) < thr:
+                    continue
+                m = difflib.SequenceMatcher(None, a, b)
+                if m.real_quick_ratio() < thr or m.quick_ratio() < thr:
+                    continue
+                score = m.ratio()
+                if score >= thr:
+                    keep_l.append(a)
+                    keep_r.append(b)
+                    keep_s.append(score)
+            yield pd.DataFrame({"left": keep_l, "right": keep_r, "score": keep_s})
+
+    return pairs.mapInPandas(run_pruned, _PAIR_SCHEMA)
 
 
 def link_entities(
@@ -194,7 +232,7 @@ def link_entities(
     with_id = surfaces.withColumn("sid", F.xxhash64("surface_norm"))
 
     pairs = candidate_pairs(surfaces, bands, rows_per_band, max_block, metrics)
-    edges_str = score_pairs(pairs).where(F.col("score") >= ratio_threshold)
+    edges_str = score_pairs(pairs, threshold=ratio_threshold)
 
     sid_map = with_id.select("surface_norm", "sid")
     edges = (

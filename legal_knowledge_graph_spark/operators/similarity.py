@@ -235,8 +235,21 @@ def train_ivf_centroids(
     # vector would silently undersize the dim-aware cap) and not the
     # full column (no O(N) scan before the capped sample — same
     # discipline as dedup.embedding_near_duplicates)
-    head = vectors.limit(65536).agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    head = (
+        vectors.limit(65536)
+        .agg(F.max(F.size(F.col(vec_col))).alias("d"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
     if head is None or head["d"] is None or head["d"] <= 0:
+        if head is not None and int(head["n"]) > 0:
+            # non-empty table whose probed prefix has no valid vector:
+            # training silently returning [] would disable IVF for the
+            # whole corpus — surface the malformed input instead
+            raise ValueError(
+                f"train_ivf_centroids: first {int(head['n'])} rows have "
+                f"no non-empty vector column {vec_col!r} — refusing to "
+                "train on malformed input"
+            )
         return []
     dim = int(head["d"])
     cap = max(min(sample_limit, max_sample_bytes // (dim * 8)), k)

@@ -68,6 +68,12 @@ def k_hop_neighbors(
         # materialize + converge check in one action (the cc.py trick)
         if nxt.count() == 0:
             break
-        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+        reached = reached.unionByName(nxt)
+        # lazy checkpoints nest one level per round (each is only cut on
+        # first action), so a deep traversal would carry a k-deep
+        # union-of-checkpoints lineage; an EAGER checkpoint every few
+        # rounds truncates the chain to a bounded depth at the cost of
+        # one extra materialization per 4 hops
+        reached = reached.localCheckpoint(eager=(hop % 4 == 0))
         frontier = nxt
     return reached

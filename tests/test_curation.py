@@ -100,3 +100,16 @@ def test_hash_split_ratios_and_validation(spark, docs):
     )
     with pytest.raises(ValueError):
         hash_split(d, "doc_id", [("a", 0.5), ("b", 0.2)])
+
+
+def test_near_duplicate_groups_rejects_knobs_with_pairs(spark, docs):
+    """pairs= plus ANY explicit threshold/minhash knob raises — even the
+    value that happens to equal the default (None-sentinel guard)."""
+    d = docs.select("doc_id", "text").where("doc_id < 5")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError):
+        near_duplicate_groups(d, "doc_id", "text", threshold=0.8, pairs=pairs)
+    with pytest.raises(ValueError):
+        near_duplicate_groups(d, "doc_id", "text", pairs=pairs, n_perm=128)
+    # no knobs with pairs= is the supported fast path
+    assert near_duplicate_groups(d, "doc_id", "text", pairs=pairs).count() == 5

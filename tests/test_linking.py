@@ -258,3 +258,34 @@ def test_cluster_entity_vectors_single_linkage_parity(spark):
     # planted structure recovered: 6 clusters of 5 + 2 singletons
     sizes = sorted(len(v) for v in got_parts.values())
     assert sizes == [1, 1, 5, 5, 5, 5, 5, 5]
+
+
+def test_score_pairs_pruned_equals_unpruned(spark):
+    """The pruning ladder (length bound + real_quick_ratio/quick_ratio
+    early-exit) must be invisible: pruned-at-threshold == unpruned
+    scored-then-filtered, scores bit-identical (same difflib ratio)."""
+    from legal_knowledge_graph_spark.functions.text import normalize_surface
+    from legal_knowledge_graph_spark.operators.linking import (
+        candidate_pairs,
+        score_pairs,
+    )
+
+    aliases = alias_table()[: 5 * 60]
+    surfaces = (
+        spark.createDataFrame([(s,) for s, _ in aliases], ["surface"])
+        .select(normalize_surface(F.col("surface")).alias("surface_norm"))
+        .where(F.length("surface_norm") > 0)
+        .distinct()
+    )
+    pairs = candidate_pairs(surfaces).localCheckpoint()
+    assert pairs.count() > 50  # the comparison is non-trivial
+    for thr in (0.84, 0.5):
+        exact = {
+            (r["left"], r["right"]): r["score"]
+            for r in score_pairs(pairs).where(F.col("score") >= thr).collect()
+        }
+        pruned = {
+            (r["left"], r["right"]): r["score"]
+            for r in score_pairs(pairs, threshold=thr).collect()
+        }
+        assert pruned == exact

@@ -46,3 +46,16 @@ def test_k_hop_early_stop_on_exhausted_frontier(spark):
     sources = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["dist"] for r in k_hop_neighbors(edges, sources, 10).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_k_hop_deep_path_graph_bounded_chain(spark):
+    """k=16 on a 20-node path: exercises the eager-checkpoint-every-4-
+    rounds chain bound (the lineage would otherwise nest 16 lazy
+    checkpoints deep) and verifies exact distances at depth."""
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in k_hop_neighbors(edges, sources, 16).collect()}
+    assert got == {i: i for i in range(17)}
