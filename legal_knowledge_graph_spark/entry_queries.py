@@ -611,7 +611,12 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_META = """
 select doc_id,
        octet_length(encode(text))::bigint as n_bytes,
-       case when lower(text) like '<html%' then 'html' else 'unknown' end as format,
+       case when lower(text) like '<html%' then 'html'
+            when text like 'ID3%' then 'mp3'
+            when text like 'RIFF%' then 'riff'
+            when text like 'BM%' then 'bmp'
+            when text like 'P6%' then 'ppm'
+            else 'unknown' end as format,
        md5(text) as content_md5
 from documents
 """
@@ -2782,8 +2787,161 @@ def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.unionByName(i)
 
 
+def q_embedding_near_dup_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact broadcast-matmul tier ∪ the scale-path LSH tier at
+    n_planes=0 (its exact reduction) — both operators execute against
+    the same planted pairs; the tier tag keeps the two assertions
+    distinguishable (round-3 verdict item: frees one gate slot without
+    dropping either operator's assertion)."""
+    ex = q_embedding_near_dup(spark, sf_dir).select(
+        F.lit("exact").alias("tier"), "doc_a", "doc_b"
+    )
+    red = q_emb_lsh_near_dup_exact(spark, sf_dir).select(
+        F.lit("lsh0").alias("tier"), "doc_a", "doc_b"
+    )
+    return ex.unionByName(red)
+
+
+SQL_EMB_NEAR_DUP_MERGED = f"""
+select 'exact' as tier, doc_a, doc_b from ({SQL_EMB_NEAR_DUP})
+union all
+select 'lsh0' as tier, doc_a, doc_b from ({SQL_EMB_LSH_NEAR_DUP_EXACT})
+"""
+
+
+def q_lsh_ann_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table zero-plane reduction (vid 13) ∪ MULTI-TABLE
+    exhaustive-probe reduction (vid 19): with multi_probe == n_planes
+    every bucket of every table is probed, so the OR-of-IN scan filter
+    passes all rows and lsh_top_k_multi must equal brute-force top-k —
+    the driver-checkable gate for the multi-table recall path."""
+    from legal_knowledge_graph_spark.operators.similarity import lsh_top_k_multi
+
+    single = q_lsh_ann_exact(spark, sf_dir).select(
+        F.lit("single").alias("variant"), "id", "rank"
+    )
+    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    q = [float(x) for x in embs.where("vid = 19").first()["embedding"]]
+    multi = lsh_top_k_multi(
+        embs, "vid", "embedding", q, dim=len(q), k=10,
+        n_planes=4, multi_probe=4, n_tables=2,
+    ).select(F.lit("multi").alias("variant"), "id", "rank")
+    return single.unionByName(multi)
+
+
+SQL_LSH_ANN_EXACT_MERGED = f"""
+select 'single' as variant, id, rank from ({SQL_LSH_ANN_EXACT})
+union all
+select 'multi' as variant, vec_id::bigint as id,
+       row_number() over (
+         order by list_cosine_similarity(
+           embedding::double[],
+           (select embedding::double[] from embeddings where vec_id::bigint = 19)
+         ) desc, vec_id::bigint
+       )::int as rank
+from embeddings
+qualify rank <= 10
+"""
+
+
+def q_decode_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_features (byte-histogram stand-in plumbing) ∪ REAL-codec
+    pixel stats: per doc a small RGB image is built from a closed-form
+    pixel formula, containerized as 24-bit BMP (even doc_id) or binary
+    P6 PPM (odd doc_id), then DECODED by the real parsers
+    (multimodal.decode_bmp / decode_ppm) and reduced to integer stats.
+    The oracle recomputes the stats from the formula alone — it never
+    sees the container bytes — so a header-offset / row-padding /
+    BGR-order / bottom-up bug in the decoder cannot cancel out. Stats
+    ride the histogram schema as negative buckets: -1 width, -2
+    height, -3 sum_r, -4 sum_g, -5 sum_b."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        image_pixel_stats,
+    )
+
+    base = q_decode_features(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id")
+    blob_schema = T.StructType(
+        [d.schema["doc_id"], T.StructField("blob", T.BinaryType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                w, h = 8 + i % 5, 4 + i % 3
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                r = (7 * i + 13 * y + 3 * x) % 256
+                g = (11 * i + 5 * y + 17 * x) % 256
+                b = (3 * i + 19 * y + 7 * x) % 256
+                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                ids.append(did)
+                blobs.append(encode_bmp(px) if i % 2 == 0 else encode_ppm(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    blobs = d.mapInPandas(gen, blob_schema)
+    stats = image_pixel_stats(blobs, "doc_id", "blob")
+    stat_rows = stats.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.col("width").cast("long"),
+                F.col("height").cast("long"),
+                F.col("sum_r"),
+                F.col("sum_g"),
+                F.col("sum_b"),
+            )
+        ).alias("pos", "byte_count"),
+    ).select(
+        "doc_id",
+        (-F.col("pos") - 1).cast("int").alias("bucket"),
+        "byte_count",
+    )
+    return base.unionByName(stat_rows)
+
+
+SQL_DECODE_FEATURES_MERGED = f"""
+select * from ({SQL_DECODE_FEATURES})
+union all
+select doc_id, bucket, byte_count from (
+  with dims as (select doc_id, 8 + doc_id % 5 as w, 4 + doc_id % 3 as h
+                from documents),
+  ys as (select doc_id, w, h, unnest(generate_series(0, h - 1)) as y from dims),
+  xy as (select doc_id, w, h, y, unnest(generate_series(0, w - 1)) as x from ys),
+  sums as (
+    select doc_id, max(w) as width, max(h) as height,
+           sum((7 * doc_id + 13 * y + 3 * x) % 256)::bigint as sum_r,
+           sum((11 * doc_id + 5 * y + 17 * x) % 256)::bigint as sum_g,
+           sum((3 * doc_id + 19 * y + 7 * x) % 256)::bigint as sum_b
+    from xy group by doc_id
+  )
+  select doc_id, -1 as bucket, width::bigint as byte_count from sums
+  union all
+  select doc_id, -2, height::bigint from sums
+  union all
+  select doc_id, -3, sum_r from sums
+  union all
+  select doc_id, -4, sum_g from sums
+  union all
+  select doc_id, -5, sum_b from sums
+)
+"""
+
+
 _MERGED_QUERIES = {
     "text_metrics": q_text_metrics,
+    "embedding_near_dup": q_embedding_near_dup_merged,
+    "lsh_ann_exact": q_lsh_ann_exact_merged,
+    "decode_features": q_decode_features_merged,
     "tree_summarize": q_tree_summarize_merged,
     "batch_topk": q_batch_topk_merged,
     "simhash_near_dup": q_simhash_near_dup_merged,
@@ -2798,6 +2956,9 @@ _MERGED_QUERIES = {
 }
 _MERGED_ORACLES = {
     "text_metrics": SQL_TEXT_METRICS,
+    "embedding_near_dup": SQL_EMB_NEAR_DUP_MERGED,
+    "lsh_ann_exact": SQL_LSH_ANN_EXACT_MERGED,
+    "decode_features": SQL_DECODE_FEATURES_MERGED,
     "tree_summarize": SQL_TREE_SUMMARIZE_MERGED,
     "batch_topk": SQL_BATCH_TOPK_MERGED,
     "simhash_near_dup": SQL_SIMHASH_NEAR_DUP_MERGED,
@@ -2816,19 +2977,20 @@ _RETIRED = [
     "fingerprint", "bpe_tokens",
     "deterministic_sample", "referenced_scan",  # -> sampled_scan
     "search_corpus", "corpus_toc",  # -> corpus_meta
+    "emb_lsh_near_dup_exact",  # -> embedding_near_dup (round 4)
 ]
 
 #: final gate order — the 9 round-2 gate-unverified entries first, the
 #: round-3 additions (quality_filters / contamination / k_hop) next,
-#: then every remaining (merged) entry. EXACTLY 50 entries — AT the
-#: driver's verified-first-50 ceiling with ZERO slack: adding a 51st
-#: entry requires merging two existing ones first (the assert below
-#: enforces it). ann_approx (the one oracle-less entry) sits last so
-#: its rows-only row is the one at the boundary.
+#: then every remaining (merged) entry. 49 entries after the round-4
+#: emb_lsh_near_dup_exact -> embedding_near_dup merge — ONE slot of
+#: slack under the driver's verified-first-50 ceiling (the assert
+#: below enforces the cap). ann_approx (the one oracle-less entry)
+#: sits last so its rows-only row is the one at the boundary.
 _GATE_ORDER = [
     "structure_sequential", "toc_components", "rank_scores",
     "dedup_groups", "sample_per_group", "pack_sequences", "hash_split",
-    "simhash_near_dup", "emb_lsh_near_dup_exact",
+    "simhash_near_dup",
     "quality_filters", "contamination", "k_hop",
     "split_intro_body", "mention_counts", "triple_extract",
     "surface_normalize", "entity_link", "cc_components", "tree_agg",

@@ -69,32 +69,37 @@ def batch_top_k(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
+def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random unit-agnostic hyperplane from the
-    portable FNV token hash (same one the embedder uses)."""
+    portable FNV token hash (same one the embedder uses). ``table``
+    selects an independent hyperplane family for multi-table LSH;
+    table 0 keeps the original single-table planes bit-for-bit."""
+    key = f"hp:{plane}:{{}}" if table == 0 else f"hp:t{table}:{plane}:{{}}"
     return [
-        1.0 if (hash_token(f"hp:{plane}:{j}") >> 8) % 2 == 0 else -1.0
+        1.0 if (hash_token(key.format(j)) >> 8) % 2 == 0 else -1.0
         for j in range(dim)
     ]
 
 
 def lsh_bucket(
-    vectors: DataFrame, vec_col: str, dim: int, n_planes: int = 8
+    vectors: DataFrame, vec_col: str, dim: int, n_planes: int = 8, table: int = 0
 ) -> DataFrame:
-    """Add a sign-random-projection ``lsh_bucket`` int column: bit p =
-    sign(v . hyperplane_p). 2^n_planes buckets; cosine-similar vectors
-    collide with high probability."""
+    """Add a sign-random-projection ``lsh_bucket`` int column (named
+    ``lsh_bucket_{table}`` for table > 0): bit p = sign(v .
+    hyperplane_p). 2^n_planes buckets; cosine-similar vectors collide
+    with high probability."""
     out = vectors
     bucket = F.lit(0)
     for p in range(n_planes):
-        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p, table)])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), hp, lambda a, b: a * b),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out.withColumn("lsh_bucket", bucket.cast("int"))
+    name = "lsh_bucket" if table == 0 else f"lsh_bucket_{table}"
+    return out.withColumn(name, bucket.cast("int"))
 
 
 def lsh_top_k(
@@ -118,6 +123,26 @@ def lsh_top_k(
     near-uniform bench vectors; real clustered embeddings sit much
     higher — see BASELINE.md). At scale the bucketed table is written
     partitioned by ``lsh_bucket`` so the probe set prunes the scan."""
+    bucketed = lsh_bucket(vectors, vec_col, dim, n_planes)
+    probes = _probe_set(query_vector, dim, n_planes, multi_probe)
+    return brute_force_top_k(
+        bucketed.where(F.col("lsh_bucket").isin(sorted(probes))),
+        id_col,
+        vec_col,
+        query_vector,
+        k,
+    )
+
+
+def _probe_set(
+    query_vector: list[float],
+    dim: int,
+    n_planes: int,
+    multi_probe: int,
+    table: int = 0,
+) -> set[int]:
+    """The query's bucket plus every bucket within ``multi_probe``
+    bit-flips, under ``table``'s hyperplane family."""
     import itertools
 
     import numpy as np
@@ -125,7 +150,7 @@ def lsh_top_k(
     qv = np.asarray(query_vector, dtype="float64")
     qbucket = 0
     for p in range(n_planes):
-        if float(np.dot(qv, np.asarray(_hyperplane(dim, p)))) >= 0:
+        if float(np.dot(qv, np.asarray(_hyperplane(dim, p, table)))) >= 0:
             qbucket += 2**p
     probes = {qbucket}
     for r in range(1, multi_probe + 1):
@@ -134,13 +159,49 @@ def lsh_top_k(
             for p in flips:
                 b ^= 1 << p
             probes.add(b)
-    bucketed = lsh_bucket(vectors, vec_col, dim, n_planes)
+    return probes
+
+
+def lsh_top_k_multi(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vector: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    multi_probe: int = 1,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via **multi-table LSH**: ``n_tables``
+    INDEPENDENT hyperplane families, each probed at
+    Hamming-``multi_probe``; a vector is scanned if ANY table places it
+    in that table's probe set. Independent tables attack the recall
+    ceiling single-table multi-probe hits (a neighbor whose signs
+    differ from the query on 3+ planes of ONE family is likely within 1
+    flip under ANOTHER family): at the defaults the union scans ~13% of
+    a uniform corpus (4 tables x 9/256, overlaps deduct) for ~0.7
+    recall@10 on the worst-case near-uniform bench set vs 0.40 for
+    single-table probe-2 at a similar 14.5% scan fraction (pinned in
+    BASELINE.md and tests/test_traindata_ops.py).
+
+    Physical shape: locally this is ONE scan with an OR-of-IN
+    predicate (each table's bucket column is a native projection —
+    no shuffle, no Python). At cluster scale each table is its own
+    ``partitionBy(lsh_bucket_t)`` index layout (the standard L-tables
+    space trade: L x index storage, queries touch only probed
+    partitions of each table).
+    """
+    bucketed = vectors
+    conds = None
+    for t in range(n_tables):
+        bucketed = lsh_bucket(bucketed, vec_col, dim, n_planes, table=t)
+        col = "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
+        probes = _probe_set(query_vector, dim, n_planes, multi_probe, table=t)
+        cond = F.col(col).isin(sorted(probes))
+        conds = cond if conds is None else (conds | cond)
     return brute_force_top_k(
-        bucketed.where(F.col("lsh_bucket").isin(sorted(probes))),
-        id_col,
-        vec_col,
-        query_vector,
-        k,
+        bucketed.where(conds), id_col, vec_col, query_vector, k
     )
 
 

@@ -431,3 +431,136 @@ def test_ivf_ann_recall_beats_hyperplane_lsh(spark, embs):
     assert full == exact
     # determinism of training
     assert cents == train_ivf_centroids(sub, "embedding", k=16)
+
+
+def test_bmp_ppm_codecs_roundtrip():
+    """Real-codec slot: encode->decode is identity for 24-bit BMP
+    (incl. 4-byte row padding and top-down row order) and binary P6
+    PPM (incl. header comments); unsupported variants raise."""
+    import struct
+
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in [(5, 3), (8, 4), (1, 1), (7, 2)]:  # 5,7 force row padding
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        assert np.array_equal(decode_image(encode_bmp(px)), px)
+        assert np.array_equal(decode_image(encode_ppm(px)), px)
+
+    # top-down BMP: negative height, rows stored first-row-first
+    px = rng.randint(0, 256, size=(3, 5, 3)).astype(np.uint8)
+    blob = bytearray(encode_bmp(px[::-1]))  # encoder wrote bottom-up of flipped
+    struct.pack_into("<i", blob, 22, -3)  # declare top-down
+    assert np.array_equal(decode_bmp(bytes(blob)), px[::-1][::-1])  # = px read top-down
+    # comments in the PPM header
+    raw = encode_ppm(px)
+    commented = b"P6\n# a comment\n5 3\n# another\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented), decode_ppm(raw))
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOTBMP" + b"\x00" * 60)
+    bad_bpp = bytearray(encode_bmp(px))
+    struct.pack_into("<H", bad_bpp, 28, 8)  # 8bpp paletted: unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM: unsupported
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n" + b"\x00" * 32)  # no real png codec
+
+
+def test_image_pixel_stats_spark(spark):
+    """image_pixel_stats decodes real containers inside Arrow batches
+    and reports integer stats matching numpy truth."""
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        image_pixel_stats,
+    )
+
+    rng = np.random.RandomState(9)
+    rows, truth = [], {}
+    for i in range(20):
+        px = rng.randint(0, 256, size=(2 + i % 3, 3 + i % 4, 3)).astype(np.uint8)
+        blob = encode_bmp(px) if i % 2 == 0 else encode_ppm(px)
+        rows.append((i, bytearray(blob)))
+        s = px.reshape(-1, 3).sum(axis=0)
+        truth[i] = (px.shape[1], px.shape[0], int(s[0]), int(s[1]), int(s[2]))
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in image_pixel_stats(df, "media_id", "blob").collect()
+    }
+    assert got == truth
+
+
+def test_multi_table_lsh_recall_and_exact_reduction(spark, embs):
+    """Multi-table LSH: (a) exhaustive probes == brute force (the gate
+    reduction), (b) recall at the default operating point beats
+    single-table multi-probe at a comparable scan fraction (the point
+    of L independent tables), with both pinned for BASELINE.md."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        brute_force_top_k,
+        lsh_bucket,
+        lsh_top_k,
+        lsh_top_k_multi,
+        _probe_set,
+    )
+
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long"))
+    dim = len(sub.first()["embedding"])
+    q = [float(x) for x in sub.where("vid = 19").first()["embedding"]]
+
+    # (a) exhaustive reduction
+    exact = [
+        (r["id"], r["rank"])
+        for r in brute_force_top_k(sub, "vid", "embedding", q, k=10).collect()
+    ]
+    full = [
+        (r["id"], r["rank"])
+        for r in lsh_top_k_multi(
+            sub, "vid", "embedding", q, dim, k=10, n_planes=4, multi_probe=4, n_tables=2
+        ).collect()
+    ]
+    assert full == exact
+
+    # (b) recall: mean over a handful of held-out queries
+    qids = [3, 11, 19, 77, 101]
+    rec_multi, rec_single, scanned = [], [], []
+    n_total = sub.count()
+    for qid in qids:
+        qv = [float(x) for x in sub.where(f"vid = {qid}").first()["embedding"]]
+        truth = {r["id"] for r in brute_force_top_k(sub, "vid", "embedding", qv, k=10).collect()}
+        multi = {
+            r["id"]
+            for r in lsh_top_k_multi(sub, "vid", "embedding", qv, dim, k=10).collect()
+        }
+        single = {
+            r["id"] for r in lsh_top_k(sub, "vid", "embedding", qv, dim=dim, k=10).collect()
+        }
+        rec_multi.append(len(truth & multi) / 10)
+        rec_single.append(len(truth & single) / 10)
+        # scan fraction of the default multi-table operating point
+        b = sub
+        cond = None
+        for t in range(4):
+            b = lsh_bucket(b, "embedding", dim, 8, table=t)
+            col = "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
+            c = F.col(col).isin(sorted(_probe_set(qv, dim, 8, 1, table=t)))
+            cond = c if cond is None else (cond | c)
+        scanned.append(b.where(cond).count() / n_total)
+    mean_multi = sum(rec_multi) / len(rec_multi)
+    mean_single = sum(rec_single) / len(rec_single)
+    mean_scan = sum(scanned) / len(scanned)
+    # pinned operating point (BASELINE.md): recall and scan fraction
+    assert mean_multi >= 0.6, (rec_multi, mean_scan)
+    assert mean_multi > mean_single, (mean_multi, mean_single)
+    assert mean_scan <= 0.30, scanned
