@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -162,10 +163,10 @@ def main() -> None:
                     # would overstate the host penalty by construction
                     "host_ceiling": round(probes_n[i_n] / probes_4n[i_4n], 3),
                     # median-based alternative, robust to a single
-                    # noisy probe sample
+                    # noisy probe sample (true median — even rep counts
+                    # average the two middle elements)
                     "host_ceiling_median": round(
-                        sorted(probes_n)[len(probes_n) // 2]
-                        / sorted(probes_4n)[len(probes_4n) // 2],
+                        statistics.median(probes_n) / statistics.median(probes_4n),
                         3,
                     ),
                     "efficiency_engine": round(

@@ -609,16 +609,26 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_META = """
+with h as (
+  select doc_id, text,
+         substr(hex(encode(text)), 1, 16) as hx  -- first 8 bytes, like the sniffer
+  from documents
+)
 select doc_id,
        octet_length(encode(text))::bigint as n_bytes,
-       case when lower(text) like '<html%' then 'html'
-            when text like 'ID3%' then 'mp3'
-            when text like 'RIFF%' then 'riff'
-            when text like 'BM%' then 'bmp'
-            when text like 'P6%' then 'ppm'
+       -- derived from the SAME hex prefixes as multimodal._MAGIC, same
+       -- first-entry-wins precedence and byte-exact (case-sensitive) html
+       case when substr(hx, 1, 8)  = '89504E47' then 'png'
+            when substr(hx, 1, 6)  = 'FFD8FF'   then 'jpeg'
+            when substr(hx, 1, 8)  = '47494638' then 'gif'
+            when substr(hx, 1, 6)  = '494433'   then 'mp3'
+            when substr(hx, 1, 8)  = '52494646' then 'riff'
+            when substr(hx, 1, 10) = '3C68746D6C' then 'html'
+            when substr(hx, 1, 4)  = '424D'     then 'bmp'
+            when substr(hx, 1, 4)  = '5036'     then 'ppm'
             else 'unknown' end as format,
        md5(text) as content_md5
-from documents
+from h
 """
 
 

@@ -171,7 +171,7 @@ def lsh_top_k_multi(
     k: int = 10,
     n_planes: int = 8,
     multi_probe: int = 1,
-    n_tables: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k via **multi-table LSH**: ``n_tables``
     INDEPENDENT hyperplane families, each probed at
@@ -179,11 +179,13 @@ def lsh_top_k_multi(
     in that table's probe set. Independent tables attack the recall
     ceiling single-table multi-probe hits (a neighbor whose signs
     differ from the query on 3+ planes of ONE family is likely within 1
-    flip under ANOTHER family): at the defaults the union scans ~13% of
-    a uniform corpus (4 tables x 9/256, overlaps deduct) for ~0.7
-    recall@10 on the worst-case near-uniform bench set vs 0.40 for
-    single-table probe-2 at a similar 14.5% scan fraction (pinned in
-    BASELINE.md and tests/test_traindata_ops.py).
+    flip under ANOTHER family). Measured on the worst-case near-uniform
+    bench vectors (BASELINE.md round-5 ANN table): the 8-table default
+    gives mean recall@10 **0.66 at 27% scan** (sf0.001, 500 vectors)
+    vs 0.40 for single-table probe-2 at 14.5% scan — pinned by
+    tests/test_traindata_ops.py (recall >= 0.6, scan <= 0.30). The
+    scan fraction shrinks with corpus size (buckets here hold ~2
+    vectors; at 1M+ rows each probe set is a vanishing fraction).
 
     Physical shape: locally this is ONE scan with an OR-of-IN
     predicate (each table's bucket column is a native projection —
@@ -384,15 +386,17 @@ def ivf_top_k(
     query_vector: list[float],
     centroids: list[list[float]],
     k: int = 10,
-    n_probe: int = 8,
+    n_probe: int = 16,
 ) -> DataFrame:
     """Approximate top-k: score the query against the centroids, scan
     only the ``n_probe`` nearest cells, exact top-k within. Recall
     rises with n_probe (n_probe == len(centroids) is exact). The
-    default ``n_probe=8`` is the retrieval-backbone operating point
-    (recall@10 0.77 vs 0.59 at probe 4 on the worst-case near-uniform
-    bench vectors, still a k/n_probe-fold scan reduction at the 64-cell
-    default; see BASELINE.md)."""
+    default ``n_probe=16`` is the retrieval-backbone operating point
+    at the 64-cell training default: measured mean recall@10 **0.72 at
+    ~25% scan** (vs 0.51 at probe 8, 0.38 at probe 4) on the
+    worst-case near-uniform sf0.1 bench vectors — BASELINE.md round-5
+    ANN table. Real clustered embeddings concentrate probability in
+    few cells, so these are floors."""
     import numpy as np
 
     C = np.array(centroids, dtype="float64")

@@ -549,9 +549,10 @@ def test_multi_table_lsh_recall_and_exact_reduction(spark, embs):
         rec_multi.append(len(truth & multi) / 10)
         rec_single.append(len(truth & single) / 10)
         # scan fraction of the default multi-table operating point
+        # (8 tables x probe-1 — keep in sync with lsh_top_k_multi defaults)
         b = sub
         cond = None
-        for t in range(4):
+        for t in range(8):
             b = lsh_bucket(b, "embedding", dim, 8, table=t)
             col = "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
             c = F.col(col).isin(sorted(_probe_set(qv, dim, 8, 1, table=t)))
