@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     # round-3 additions
     "quality_filters",
     "contamination",
+    # round-5 additions (round-4 operators previously timed only
+    # inside merged gate entries — regressions were invisible)
+    "lsh_ann_multi",
+    "image_pixel_stats",
 ]
 
 PAGES_PER_SF = 40_000  # sf0.1 -> 4,000 pages

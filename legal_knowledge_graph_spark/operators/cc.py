@@ -74,14 +74,67 @@ def _checksum(e: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _driver_union_find(rows) -> list[tuple]:
+    """Union-find with path halving over collected (src, dst) rows;
+    returns (node, component=min id in component) for every node that
+    appears in ``rows``. O(E α(E)) — microseconds at the bounded sizes
+    the fast path admits."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path compression for the chain we walked
+        while x != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[rb] = ra
+    root_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = root_min.get(r)
+        if m is None or n < m:
+            root_min[r] = n
+    return [(n, root_min[find(n)]) for n in parent]
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_cap: int = 1_000_000
+) -> DataFrame:
     """edges(src: long, dst: long) -> (node: long, component: long).
 
     ``component`` is the minimum node id in the node's component.
     Nodes that appear only as isolated vertices in ``edges`` (self
     loops) map to themselves; vertices absent from ``edges`` are the
     caller's to union in.
+
+    **Bounded fast path** (round 5 — the CC convergence loop was the
+    pipeline's single largest serial-seconds contributor at ~15 s per
+    run, measured by the 2-vs-8-core stage decomposition): the
+    convergence checksum already counts the canonical edge set, so
+    when it fits ``driver_cap`` the components are solved with driver
+    union-find over ONE bounded collect (≤ 16 MB at the 1M-edge
+    default) and broadcast back — zero iteration rounds, zero
+    per-round driver latency. Above the cap the large-star/small-star
+    loop below IS the path (the 100 TB shape: each round two
+    map-side-combinable shuffles). Same output either way, pinned by
+    tests/test_cc.py's fast-vs-distributed equivalence test.
     """
+    # The input edge table is consumed by BOTH the canonical edge set
+    # (below) and the nodes table (whose final assignment join runs in
+    # a separate action) — without a checkpoint an expensive upstream
+    # lineage (e.g. link_entities' candidate scoring) re-executes once
+    # per consumer (measured 3x at 400k pages). Iterative-CC engines
+    # materialize their input for exactly this reason; at the bounded
+    # fast-path sizes this is trivial, and at scale it is the standard
+    # pre-iteration materialization.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -97,6 +150,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     prev = _checksum(e)
     if prev[0] == 0:
         return nodes.select("node", F.col("node").alias("component"))
+
+    if prev[0] <= driver_cap:
+        # the checksum materialized the checkpoint, so this collect
+        # reads executor-cached blocks — bounded by construction
+        assign = _driver_union_find(e.collect())
+        spark = edges.sparkSession
+        assign_df = F.broadcast(
+            spark.createDataFrame(assign, "node long, component long")
+        )
+        # nodes stays distributed (self-loop-only vertices can be
+        # unbounded even when the canonical edge set is tiny); the
+        # assignment map broadcasts against it
+        return nodes.join(assign_df, "node", "left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
 
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)

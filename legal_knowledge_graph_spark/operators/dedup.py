@@ -287,13 +287,20 @@ def jaccard_verify_bitset(
                 out_masks.append(m.tobytes())
             yield pd.DataFrame({"doc_id": out_docs, "mask": out_masks})
 
-    # executor-side materialization first, THEN the bound check, THEN
-    # the driver collect — nothing unbounded ever reaches the driver.
-    partials = sh.mapInPandas(build_partials, mask_schema).localCheckpoint(eager=False)
-    n_partials = partials.count()
-    if n_partials > max_docs or n_partials * nbytes > max_mask_bytes:
+    # Bound enforced IN THE PLAN: the byte/row caps translate to a row
+    # cap (masks are fixed nbytes each), so `limit(cap + 1).collect()`
+    # can never move more than cap+1 bounded rows to the driver — and
+    # overflow is detected by the +1 sentinel. One action instead of
+    # the previous count-guard-then-collect pair (the partials build
+    # ran once per action; this was ~1-2 s of per-call driver latency
+    # in the minhash/ngram tiers at bench SF).
+    cap_rows = min(max_docs, max_mask_bytes // max(nbytes, 1))
+    mask_rows = (
+        sh.mapInPandas(build_partials, mask_schema).limit(cap_rows + 1).collect()
+    )
+    if len(mask_rows) > cap_rows:
         return None
-    mask_rows = partials.collect()
+    n_partials = len(mask_rows)
 
     # OR-merge partials into ONE contiguous (n_docs x words) uint64
     # matrix + id->row map: per-batch mask gathers become fancy

@@ -242,10 +242,17 @@ def link_entities(
     )
 
     comp = connected_components(edges)
-    assigned = with_id.join(comp, with_id["sid"] == comp["node"], "left").select(
-        "surface_norm",
-        "sid",
-        F.coalesce("component", F.col("sid")).alias("component"),
+    # assigned feeds two consumers (the reps aggregation and the final
+    # join) — checkpoint so the CC output join runs once, not once per
+    # consumer. Small by design: one row per distinct surface.
+    assigned = (
+        with_id.join(comp, with_id["sid"] == comp["node"], "left")
+        .select(
+            "surface_norm",
+            "sid",
+            F.coalesce("component", F.col("sid")).alias("component"),
+        )
+        .localCheckpoint(eager=False)
     )
     reps = assigned.groupBy("component").agg(F.min("surface_norm").alias("canonical_id"))
     return assigned.join(reps, "component").select("surface_norm", "canonical_id", "component")

@@ -95,6 +95,8 @@ def stream_event_windows(
     source_dir: str,
     checkpoint_dir: str,
     watermark: str = "2 hours",
+    name: str = "stream_event_windows",
+    path_glob: str | None = None,
 ):
     """Watermarked tumbling-window aggregation over an event stream —
     the streaming twin of the batch q_event_windows: 1-hour windows x
@@ -106,7 +108,12 @@ def stream_event_windows(
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
-    stream = spark.readStream.schema(ev_schema).parquet(source_dir)
+    reader = spark.readStream.schema(ev_schema)
+    if path_glob is not None:
+        # the file stream source requires a DIRECTORY; a single-file
+        # corpus streams via its parent dir + a glob filter
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(source_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -121,7 +128,6 @@ def stream_event_windows(
             "value_sum_x100",
         )
     )
-    name = "stream_event_windows"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")

@@ -61,6 +61,29 @@ def test_connected_components_vs_union_find(spark):
         assert got[n] == exp[n], n
 
 
+def test_cc_driver_fast_path_equals_distributed(spark):
+    """The bounded driver union-find fast path (driver_cap) and the
+    large-star/small-star loop (driver_cap=0 forces it) must produce
+    identical assignments — including self-loop-only vertices, which
+    only the distributed nodes table sees."""
+    import random
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(160)]
+    edges += [(n, n) for n in range(500, 505)]  # self-loop-only nodes
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_cap=0).collect()
+    }
+    assert fast == dist
+    for n in range(500, 505):
+        assert fast[n] == n
+
+
 def test_single_linkage_parity_vs_exact(spark):
     """CC over tau-thresholded cosine edges == exact single-linkage cut
     at distance tau (the C1 equivalence, utils/cluster.py:4-26)."""
