@@ -81,25 +81,85 @@ def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
     ]
 
 
+def _bucket_col_name(table: int) -> str:
+    return "lsh_bucket" if table == 0 else f"lsh_bucket_{table}"
+
+
+def lsh_bucket_tables(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    tables: tuple[int, ...] = (0,),
+) -> DataFrame:
+    """Add one sign-random-projection bucket column per table
+    (``lsh_bucket`` for table 0, ``lsh_bucket_{t}`` otherwise): bit p
+    of table t's bucket = sign(v . hyperplane_{t,p}).
+
+    All tables' buckets come from ONE Arrow-batched vectorized pass —
+    a single (n, dim) x (dim, T*P) matmul per batch. The previous
+    per-plane Catalyst ``aggregate``-fold expressions were
+    whole-stage-codegen'd, but compiling T*P = 64 nested lambda folds
+    cost ~4 s of constant plan/codegen time per query at the 8-table
+    default — fine amortized over 10^9 rows, dominant at bench SF.
+    The matmul path is both cheaper per row and free of that constant.
+    Vectors shorter than ``dim`` contribute zeros for the missing
+    positions; longer ones are truncated.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if n_planes == 0 or not tables:
+        # zero-plane degenerate (the exactness reduction): every row
+        # lands in bucket 0 of every table — constant columns, no UDF
+        out = vectors
+        for t in tables:
+            out = out.withColumn(_bucket_col_name(t), F.lit(0))
+        return out
+
+    M = np.stack(
+        [
+            np.asarray(_hyperplane(dim, p, t), dtype="float64")
+            for t in tables
+            for p in range(n_planes)
+        ]
+    )  # (T*P, dim)
+    pows = 2 ** np.arange(n_planes)
+    n_tables = len(tables)
+
+    # no type hints: pandas is imported locally, so annotations would
+    # be unresolvable strings to PySpark's hint inference — the
+    # explicit returnType makes this a scalar pandas UDF
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(v):
+        X = np.zeros((len(v), dim), dtype="float64")
+        for i, row in enumerate(v):
+            if row is None:
+                continue
+            r = np.asarray(row[:dim], dtype="float64")
+            X[i, : len(r)] = r
+        signs = (X @ M.T) >= 0  # (n, T*P)
+        b = (signs.reshape(len(v), n_tables, n_planes) * pows).sum(axis=2)
+        return pd.Series(list(b.astype("int32")))
+
+    out = vectors.withColumn("_lshb", _buckets(F.col(vec_col)))
+    for i, t in enumerate(tables):
+        out = out.withColumn(_bucket_col_name(t), F.col("_lshb")[i])
+    return out.drop("_lshb")
+
+
 def lsh_bucket(
     vectors: DataFrame, vec_col: str, dim: int, n_planes: int = 8, table: int = 0
 ) -> DataFrame:
     """Add a sign-random-projection ``lsh_bucket`` int column (named
     ``lsh_bucket_{table}`` for table > 0): bit p = sign(v .
     hyperplane_p). 2^n_planes buckets; cosine-similar vectors collide
-    with high probability."""
-    out = vectors
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p, table)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), hp, lambda a, b: a * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    name = "lsh_bucket" if table == 0 else f"lsh_bucket_{table}"
-    return out.withColumn(name, bucket.cast("int"))
+    with high probability. Single-table wrapper over
+    :func:`lsh_bucket_tables`."""
+    return lsh_bucket_tables(vectors, vec_col, dim, n_planes, (table,))
 
 
 def lsh_top_k(
@@ -188,19 +248,21 @@ def lsh_top_k_multi(
     vectors; at 1M+ rows each probe set is a vanishing fraction).
 
     Physical shape: locally this is ONE scan with an OR-of-IN
-    predicate (each table's bucket column is a native projection —
-    no shuffle, no Python). At cluster scale each table is its own
-    ``partitionBy(lsh_bucket_t)`` index layout (the standard L-tables
-    space trade: L x index storage, queries touch only probed
-    partitions of each table).
+    predicate; all tables' buckets come from a single Arrow-batched
+    matmul pass (lsh_bucket_tables — no shuffle, one vectorized UDF
+    stage; the previous 64 stacked Catalyst folds cost ~4 s of
+    constant codegen per query). At cluster scale each table is its
+    own ``partitionBy(lsh_bucket_t)`` index layout (the standard
+    L-tables space trade: L x index storage, queries touch only
+    probed partitions of each table).
     """
-    bucketed = vectors
+    bucketed = lsh_bucket_tables(
+        vectors, vec_col, dim, n_planes, tuple(range(n_tables))
+    )
     conds = None
     for t in range(n_tables):
-        bucketed = lsh_bucket(bucketed, vec_col, dim, n_planes, table=t)
-        col = "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
         probes = _probe_set(query_vector, dim, n_planes, multi_probe, table=t)
-        cond = F.col(col).isin(sorted(probes))
+        cond = F.col(_bucket_col_name(t)).isin(sorted(probes))
         conds = cond if conds is None else (conds | cond)
     return brute_force_top_k(
         bucketed.where(conds), id_col, vec_col, query_vector, k
