@@ -197,7 +197,16 @@ def _banded_pairs(
         )
         metrics["dropped_buckets"] = int(dropped["nb"])
         metrics["dropped_rows"] = int(dropped["nr"])
-    banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
+    # Cap via broadcast ANTI-join on the (tiny) oversized-key set: the
+    # previous inner join on band_key forced a full shuffle of the
+    # banded table just to apply the cap, and the self-join below
+    # shuffles it by band_key again — one entire shuffle of the widest
+    # intermediate saved at any scale (oversized buckets are rare by
+    # construction; the broadcast is bounded by the drop count).
+    oversized = F.broadcast(
+        sizes.where(F.col("bs") > max_block).select("band_key")
+    )
+    banded = banded.join(oversized, "band_key", "left_anti")
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
     pairs = (

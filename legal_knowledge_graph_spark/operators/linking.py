@@ -112,7 +112,12 @@ def candidate_pairs(
         )
         metrics["dropped_buckets"] = int(dropped["nb"])
         metrics["dropped_rows"] = int(dropped["nr"])
-    banded = banded.join(sizes, "band_key").where(F.col("bs") <= max_block).drop("bs")
+    # broadcast anti-join cap (same rationale as dedup._banded_pairs:
+    # the inner size join shuffled the banded table a second time)
+    oversized = F.broadcast(
+        sizes.where(F.col("bs") > max_block).select("band_key")
+    )
+    banded = banded.join(oversized, "band_key", "left_anti")
 
     left = banded.select("band_key", F.col("surface_norm").alias("left"))
     right = banded.select("band_key", F.col("surface_norm").alias("right"))

@@ -565,3 +565,43 @@ def test_multi_table_lsh_recall_and_exact_reduction(spark, embs):
     assert mean_multi >= 0.6, (rec_multi, mean_scan)
     assert mean_multi > mean_single, (mean_multi, mean_single)
     assert mean_scan <= 0.30, scanned
+
+
+def test_lsh_bucket_tables_matches_numpy_reference(spark, embs):
+    """The single-pass Arrow bucketing must equal a from-scratch numpy
+    recompute of sign(v . hyperplane_{t,p}) bit-packing for every
+    table, and the single-table wrapper must agree with the multi-table
+    pass (guards the hyperplane family derivation and bit order)."""
+    import numpy as np
+
+    from legal_knowledge_graph_spark.operators.similarity import (
+        _hyperplane,
+        lsh_bucket,
+        lsh_bucket_tables,
+    )
+
+    sub = embs.withColumn("vid", F.col("vec_id").cast("long")).limit(50)
+    rows = sub.select("vid", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    n_planes, tables = 8, (0, 1, 3)
+
+    got = {
+        r["vid"]: (r["lsh_bucket"], r["lsh_bucket_1"], r["lsh_bucket_3"])
+        for r in lsh_bucket_tables(sub, "embedding", dim, n_planes, tables).collect()
+    }
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype="float64")
+        want = []
+        for t in tables:
+            b = 0
+            for p in range(n_planes):
+                if float(v @ np.asarray(_hyperplane(dim, p, t))) >= 0:
+                    b += 2**p
+            want.append(b)
+        assert got[r["vid"]] == tuple(want), r["vid"]
+
+    single = {
+        r["vid"]: r["lsh_bucket_3"]
+        for r in lsh_bucket(sub, "embedding", dim, n_planes, table=3).collect()
+    }
+    assert single == {k: v[2] for k, v in got.items()}
