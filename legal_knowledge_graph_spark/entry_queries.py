@@ -1175,9 +1175,14 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [float(x) for x in embs.where("vid = 11").first()["embedding"]]
     cents = train_ivf_centroids(embs, "embedding", k=16)
     indexed = ivf_assign(embs, "embedding", cents)
-    return ivf_top_k(indexed, "vid", "embedding", q, cents, k=10).select(
-        "id", "rank"
-    )
+    # explicit n_probe=8: this entry trains 16 cells, so the round-5
+    # n_probe=16 DEFAULT (pinned against the 64-cell training default)
+    # would probe 16/16 here — the exact reduction, duplicating
+    # ivf_ann_exact and breaking round-over-round bench comparability
+    # of the 8-of-16-cell approximate scan this key has always timed
+    return ivf_top_k(
+        indexed, "vid", "embedding", q, cents, k=10, n_probe=8
+    ).select("id", "rank")
 
 
 QUERIES["ivf_ann"] = q_ivf_ann
@@ -2854,17 +2859,14 @@ qualify rank <= 10
 """
 
 
-def q_decode_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode_features (byte-histogram stand-in plumbing) ∪ REAL-codec
-    pixel stats: per doc a small RGB image is built from a closed-form
-    pixel formula, containerized as 24-bit BMP (even doc_id) or binary
-    P6 PPM (odd doc_id), then DECODED by the real parsers
-    (multimodal.decode_bmp / decode_ppm) and reduced to integer stats.
-    The oracle recomputes the stats from the formula alone — it never
-    sees the container bytes — so a header-offset / row-padding /
-    BGR-order / bottom-up bug in the decoder cannot cancel out. Stats
-    ride the histogram schema as negative buckets: -1 width, -2
-    height, -3 sum_r, -4 sum_g, -5 sum_b."""
+def _planted_image_blobs(d: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, blob): per doc a small RGB image from the
+    closed-form pixel formula r=(7i+13y+3x)%256, g=(11i+5y+17x)%256,
+    b=(3i+19y+7x)%256 at w=8+i%5, h=4+i%3, containerized as 24-bit BMP
+    (even doc_id) or binary P6 PPM (odd). ONE definition shared by the
+    decode_features gate entry and the image_pixel_stats bench key —
+    the SQL oracle encodes the same formula, so a tweak here must be
+    mirrored there (and only there)."""
     import numpy as np
     import pandas as pd
 
@@ -2873,11 +2875,8 @@ def q_decode_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legal_knowledge_graph_spark.operators.multimodal import (
         encode_bmp,
         encode_ppm,
-        image_pixel_stats,
     )
 
-    base = q_decode_features(spark, sf_dir)
-    d = _docs(spark, sf_dir).select("doc_id")
     blob_schema = T.StructType(
         [d.schema["doc_id"], T.StructField("blob", T.BinaryType(), False)]
     )
@@ -2898,7 +2897,26 @@ def q_decode_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_bmp(px) if i % 2 == 0 else encode_ppm(px))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
-    blobs = d.mapInPandas(gen, blob_schema)
+    return d.select("doc_id").mapInPandas(gen, blob_schema)
+
+
+def q_decode_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_features (byte-histogram stand-in plumbing) ∪ REAL-codec
+    pixel stats: per doc a small RGB image is built from a closed-form
+    pixel formula, containerized as 24-bit BMP (even doc_id) or binary
+    P6 PPM (odd doc_id), then DECODED by the real parsers
+    (multimodal.decode_bmp / decode_ppm) and reduced to integer stats.
+    The oracle recomputes the stats from the formula alone — it never
+    sees the container bytes — so a header-offset / row-padding /
+    BGR-order / bottom-up bug in the decoder cannot cancel out. Stats
+    ride the histogram schema as negative buckets: -1 width, -2
+    height, -3 sum_r, -4 sum_g, -5 sum_b."""
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        image_pixel_stats,
+    )
+
+    base = q_decode_features(spark, sf_dir)
+    blobs = _planted_image_blobs(_docs(spark, sf_dir))
     stats = image_pixel_stats(blobs, "doc_id", "blob")
     stat_rows = stats.select(
         "doc_id",
@@ -2975,7 +2993,15 @@ def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_glob="events.parquet",
     )
     try:
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:
+            # timed out: stop the query BEFORE touching its checkpoint
+            # and fail loudly — a partial complete-mode snapshot would
+            # otherwise read as a (confusing) oracle mismatch
+            q.stop()
+            raise TimeoutError(
+                "stream_event_windows did not finish within 600 s"
+            )
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
@@ -3003,40 +3029,15 @@ def q_lsh_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-codec decode path (BMP/PPM -> pixel stats) alone — timed
     per round; inside the gate it runs only as part of the merged
-    decode_features entry, which also times the histogram stand-in."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
+    decode_features entry, which also times the histogram stand-in.
+    Same planted blobs as the gate entry (shared _planted_image_blobs)."""
     from legal_knowledge_graph_spark.operators.multimodal import (
-        encode_bmp,
-        encode_ppm,
         image_pixel_stats,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id")
-    blob_schema = T.StructType(
-        [d.schema["doc_id"], T.StructField("blob", T.BinaryType(), False)]
+    return image_pixel_stats(
+        _planted_image_blobs(_docs(spark, sf_dir)), "doc_id", "blob"
     )
-
-    def gen(batches):
-        for pdf in batches:
-            ids, blobs = [], []
-            for did in pdf["doc_id"]:
-                i = int(did)
-                w, h = 8 + i % 5, 4 + i % 3
-                y = np.arange(h)[:, None]
-                x = np.arange(w)[None, :]
-                r = (7 * i + 13 * y + 3 * x) % 256
-                g = (11 * i + 5 * y + 17 * x) % 256
-                b = (3 * i + 19 * y + 7 * x) % 256
-                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
-                ids.append(did)
-                blobs.append(encode_bmp(px) if i % 2 == 0 else encode_ppm(px))
-            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
-
-    return image_pixel_stats(d.mapInPandas(gen, blob_schema), "doc_id", "blob")
 
 
 _MERGED_QUERIES = {

@@ -124,7 +124,8 @@ def connected_components(
     per-round driver latency. Above the cap the large-star/small-star
     loop below IS the path (the 100 TB shape: each round two
     map-side-combinable shuffles). Same output either way, pinned by
-    tests/test_cc.py's fast-vs-distributed equivalence test.
+    tests/test_linking.py's fast-vs-distributed equivalence test
+    (test_cc_driver_fast_path_equals_distributed).
     """
     # The input edge table is consumed by BOTH the canonical edge set
     # (below) and the nodes table (whose final assignment join runs in

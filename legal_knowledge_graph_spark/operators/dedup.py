@@ -197,15 +197,15 @@ def _banded_pairs(
         )
         metrics["dropped_buckets"] = int(dropped["nb"])
         metrics["dropped_rows"] = int(dropped["nr"])
-    # Cap via broadcast ANTI-join on the (tiny) oversized-key set: the
-    # previous inner join on band_key forced a full shuffle of the
-    # banded table just to apply the cap, and the self-join below
-    # shuffles it by band_key again — one entire shuffle of the widest
-    # intermediate saved at any scale (oversized buckets are rare by
-    # construction; the broadcast is bounded by the drop count).
-    oversized = F.broadcast(
-        sizes.where(F.col("bs") > max_block).select("band_key")
-    )
+    # Cap via ANTI-join on the oversized-key set: the previous inner
+    # join on band_key forced a full shuffle of the banded table just
+    # to apply the cap, and the self-join below shuffles it by
+    # band_key again. Oversized buckets are rare in practice (AQE
+    # broadcasts the tiny set at runtime and the banded table never
+    # reshuffles), but their count is data-dependent — a stop-text
+    # corpus could make it large — so the broadcast is NOT forced:
+    # AQE falls back to a shuffle anti-join when the set is big.
+    oversized = sizes.where(F.col("bs") > max_block).select("band_key")
     banded = banded.join(oversized, "band_key", "left_anti")
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_key", F.col("doc_id").alias("doc_b"))
@@ -296,20 +296,18 @@ def jaccard_verify_bitset(
                 out_masks.append(m.tobytes())
             yield pd.DataFrame({"doc_id": out_docs, "mask": out_masks})
 
-    # Bound enforced IN THE PLAN: the byte/row caps translate to a row
-    # cap (masks are fixed nbytes each), so `limit(cap + 1).collect()`
-    # can never move more than cap+1 bounded rows to the driver — and
-    # overflow is detected by the +1 sentinel. One action instead of
-    # the previous count-guard-then-collect pair (the partials build
-    # ran once per action; this was ~1-2 s of per-call driver latency
-    # in the minhash/ngram tiers at bench SF).
-    cap_rows = min(max_docs, max_mask_bytes // max(nbytes, 1))
-    mask_rows = (
-        sh.mapInPandas(build_partials, mask_schema).limit(cap_rows + 1).collect()
-    )
-    if len(mask_rows) > cap_rows:
+    # executor-side materialization first, THEN the bound check, THEN
+    # the driver collect — nothing unbounded ever reaches the driver.
+    # (A round-5 attempt to fuse these into one `limit(cap+1).collect()`
+    # was reverted: CollectLimit ships up to cap+1 rows FROM EACH
+    # partition of a wave before truncating, so in the overflow case
+    # the driver could buffer far more than cap rows — the count guard
+    # is the only shape that bounds bytes before anything moves.)
+    partials = sh.mapInPandas(build_partials, mask_schema).localCheckpoint(eager=False)
+    n_partials = partials.count()
+    if n_partials > max_docs or n_partials * nbytes > max_mask_bytes:
         return None
-    n_partials = len(mask_rows)
+    mask_rows = partials.collect()
 
     # OR-merge partials into ONE contiguous (n_docs x words) uint64
     # matrix + id->row map: per-batch mask gathers become fancy

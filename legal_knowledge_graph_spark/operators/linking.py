@@ -112,11 +112,10 @@ def candidate_pairs(
         )
         metrics["dropped_buckets"] = int(dropped["nb"])
         metrics["dropped_rows"] = int(dropped["nr"])
-    # broadcast anti-join cap (same rationale as dedup._banded_pairs:
-    # the inner size join shuffled the banded table a second time)
-    oversized = F.broadcast(
-        sizes.where(F.col("bs") > max_block).select("band_key")
-    )
+    # anti-join cap (same rationale as dedup._banded_pairs: the inner
+    # size join shuffled the banded table a second time; broadcast not
+    # forced — the oversized set is data-dependent, AQE decides)
+    oversized = sizes.where(F.col("bs") > max_block).select("band_key")
     banded = banded.join(oversized, "band_key", "left_anti")
 
     left = banded.select("band_key", F.col("surface_norm").alias("left"))

@@ -103,8 +103,9 @@ def lsh_bucket_tables(
     cost ~4 s of constant plan/codegen time per query at the 8-table
     default — fine amortized over 10^9 rows, dominant at bench SF.
     The matmul path is both cheaper per row and free of that constant.
-    Vectors shorter than ``dim`` contribute zeros for the missing
-    positions; longer ones are truncated.
+    Null rows and rows whose length != ``dim`` land in bucket 0 of
+    every table — the same result the Catalyst fold gave them (null
+    dots on every plane).
     """
     import numpy as np
     import pandas as pd
@@ -136,13 +137,19 @@ def lsh_bucket_tables(
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _buckets(v):
         X = np.zeros((len(v), dim), dtype="float64")
+        valid = np.zeros(len(v), dtype=bool)
         for i, row in enumerate(v):
-            if row is None:
+            # parity with the Catalyst fold this replaced: a null row
+            # or one whose length != dim produced a null dot on every
+            # plane there (zip_with pads with nulls), i.e. bucket 0 —
+            # NOT the all-ones bucket a zero-padded matmul would give
+            if row is None or len(row) != dim:
                 continue
-            r = np.asarray(row[:dim], dtype="float64")
-            X[i, : len(r)] = r
+            X[i] = np.asarray(row, dtype="float64")
+            valid[i] = True
         signs = (X @ M.T) >= 0  # (n, T*P)
         b = (signs.reshape(len(v), n_tables, n_planes) * pows).sum(axis=2)
+        b[~valid] = 0
         return pd.Series(list(b.astype("int32")))
 
     out = vectors.withColumn("_lshb", _buckets(F.col(vec_col)))

@@ -61,13 +61,6 @@ def get_spark(
         # broadcast; 64 MB covers the canonical-entity map at bench SF
         # while staying far below executor memory.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Bounded-probe collects (`limit(cap+1).collect()` — bitset
-        # partials, vocab probe) are BOUNDED but rarely SMALL; the
-        # default CollectLimit executes 1 partition, then 4x waves,
-        # serializing what should be one parallel pass. Launch all
-        # partitions in the first wave — the caps bound driver bytes,
-        # not executor work.
-        .config("spark.sql.limit.initialNumPartitions", "100000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))

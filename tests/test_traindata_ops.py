@@ -605,3 +605,29 @@ def test_lsh_bucket_tables_matches_numpy_reference(spark, embs):
         for r in lsh_bucket(sub, "embedding", dim, n_planes, table=3).collect()
     }
     assert single == {k: v[2] for k, v in got.items()}
+
+
+def test_lsh_bucket_null_and_ragged_rows_land_in_bucket_zero(spark):
+    """Parity with the Catalyst fold the vectorized path replaced:
+    null rows and rows whose length != dim produced null dots on every
+    plane (bucket 0) — the zero-padded matmul must not silently move
+    them to the all-ones bucket."""
+    from legal_knowledge_graph_spark.operators.similarity import lsh_bucket_tables
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.3, 0.9, 0.1]),
+            (2, None),
+            (3, [0.5, -0.3]),             # shorter than dim
+            (4, [0.5, -0.3, 0.9, 0.1, 7.0]),  # longer than dim
+            (5, []),
+        ],
+        "vid long, embedding array<double>",
+    )
+    got = {
+        r["vid"]: (r["lsh_bucket"], r["lsh_bucket_1"])
+        for r in lsh_bucket_tables(df, "embedding", 4, 8, (0, 1)).collect()
+    }
+    for vid in (2, 3, 4, 5):
+        assert got[vid] == (0, 0), vid
+    assert got[1] != (0, 0)  # a real vector gets a real bucket
