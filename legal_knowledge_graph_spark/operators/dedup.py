@@ -445,6 +445,436 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# round-6 bounded-vocab Arrow fast path (guide §4.2 / §8)
+#
+# The distributed shingle machinery above processes ~len(text) rows
+# per doc through an explode, an md5 per (doc, gram), a 16-agg
+# groupBy, a band self-join and a pair-table shuffle — at bench scale
+# that is 7.2M exploded rows and an 11M-row candidate flood for a
+# corpus whose TEXT is 15 MB. When the gram vocabulary is bounded
+# (char-k-grams over a bounded alphabet — the same condition the
+# bitset verify already requires), every per-doc quantity the tier
+# needs (distinct-gram bitmask, set size, minhash signature) is
+# computable in ONE vectorized Arrow pass over the normalized text,
+# and candidate pairs can be enumerated INSIDE each band bucket / each
+# block against the broadcast mask matrix — the O(pairs) table is
+# never shuffled, never crosses an exchange, and only verified pairs
+# are emitted (guide §8: decide with small rows; move heavy bytes —
+# here: emit heavy pair rows — exactly once).
+#
+# Exactness: gram slicing is code-point identical to substring(); the
+# md5 -> int -> mod-P -> (a*g+b) mod P signature arithmetic is the
+# same integer math (int64, no overflow: a, g < 2^31); masks index a
+# GLOBAL sorted vocab so popcount(A & B) is exactly |A ∩ B|. The
+# DuckDB oracles are unchanged and stay green. Unbounded-vocab /
+# oversized corpora fall back to the distributed path above (the
+# 100 TB shape).
+
+
+def _gram_set(t: str, k: int) -> set:
+    """Distinct char-k-grams, mirroring :func:`shingles` exactly:
+    texts shorter than k contribute the whole text as one gram."""
+    return {t[i : i + k] for i in range(len(t) - k + 1)} if len(t) >= k else {t}
+
+
+def _norm_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, t=lower(trim(text))) — normalization stays JVM-side so
+    locale/trim semantics are identical to the distributed path."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), _norm_text(F.col(text_col)).alias("t")
+    )
+
+
+def _collect_gram_vocab(norm_docs: DataFrame, k: int, max_vocab: int) -> list | None:
+    """Global sorted gram vocabulary, or None when it exceeds
+    ``max_vocab``. Each task emits its own DISTINCT grams (bounded by
+    the vocab size, not the corpus size), so the driver collect is
+    bounded by construction."""
+    import pyarrow as pa
+
+    def emit(batches):
+        seen: set = set()
+        for b in batches:
+            for t in b.column("t").to_pylist():
+                seen.update(_gram_set(t or "", k))
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sorted(seen), type=pa.string())], names=["gram"]
+            )
+
+    rows = (
+        norm_docs.select("t")
+        .mapInArrow(emit, "gram string")
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        return None
+    return sorted(r["gram"] for r in rows)
+
+
+def _vocab_g_vals(vocab: list) -> "object":
+    """md5-derived permutation inputs g = int(md5[:15], 16) mod P for
+    every vocab gram — computed ONCE on the driver (<= max_vocab md5s)
+    instead of once per (doc, gram) row."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+            for g in vocab
+        ),
+        dtype=np.int64,
+        count=len(vocab),
+    )
+
+
+def _doc_gram_stats(
+    norm_docs: DataFrame, k: int, vocab: list, n_perm: int
+) -> DataFrame:
+    """One Arrow pass: (doc_id, mask, sz[, h0..h{n_perm-1}]) per row.
+
+    mask = bitset over the global sorted vocab; sz = |gram set|;
+    h_j = min((a_j * g + b_j) mod P) — identical values to
+    :func:`minhash_signatures` (pass ``n_perm=0`` to skip them)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    spark = norm_docs.sparkSession
+    nbytes = (len(vocab) + 7) // 8
+    b_vocab = spark.sparkContext.broadcast(
+        ({g: i for i, g in enumerate(vocab)}, _vocab_g_vals(vocab))
+    )
+    coeffs = _perm_coeffs(n_perm) if n_perm else []
+
+    fields = [norm_docs.schema["doc_id"], T.StructField("mask", T.BinaryType(), False),
+              T.StructField("sz", T.LongType(), False)]
+    fields += [T.StructField(f"h{j}", T.LongType(), True) for j in range(n_perm)]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        idx, g_vals = b_vocab.value
+        for b in batches:
+            texts = b.column("t").to_pylist()
+            n = len(texts)
+            if n == 0:
+                continue
+            counts = np.empty(n, dtype=np.int64)
+            code_lists = []
+            for i, t in enumerate(texts):
+                gs = _gram_set(t or "", k)
+                code_lists.append(
+                    np.fromiter((idx[g] for g in gs), dtype=np.int64, count=len(gs))
+                )
+                counts[i] = len(gs)
+            codes = np.concatenate(code_lists)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            M = np.zeros((n, nbytes), dtype=np.uint8)
+            rows = np.repeat(np.arange(n), counts)
+            np.bitwise_or.at(
+                M, (rows, codes >> 3), (1 << (codes & 7)).astype(np.uint8)
+            )
+            arrays = [
+                b.column("doc_id"),
+                pa.array([M[i].tobytes() for i in range(n)], type=pa.binary()),
+                pa.array(counts, type=pa.int64()),
+            ]
+            if n_perm:
+                gv = g_vals[codes]
+                for a, b_ in coeffs:
+                    vals = (gv * a + b_) % MINHASH_P
+                    arrays.append(
+                        pa.array(np.minimum.reduceat(vals, starts), type=pa.int64())
+                    )
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["doc_id", "mask", "sz"] + [f"h{j}" for j in range(n_perm)]
+            )
+
+    return norm_docs.mapInArrow(run, schema)
+
+
+def _mask_broadcasts(stats: DataFrame, nbytes: int, max_docs: int, max_mask_bytes: int):
+    """Count-guard-then-collect of the (doc_id, mask, sz) table; returns
+    (b_map, b_M64, b_sz, id_kind) broadcasts or None when a bound is
+    exceeded or ids are not unique (the distributed path handles those)."""
+    import numpy as np
+
+    n_docs = stats.count()
+    if n_docs == 0 or n_docs > max_docs or n_docs * nbytes > max_mask_bytes:
+        return None
+    pdf = stats.select("doc_id", "mask", "sz").toPandas()
+    ids = pdf["doc_id"].to_numpy()
+    if len(np.unique(ids)) != len(ids):
+        return None  # duplicate ids: the groupBy path merges them; we don't
+    nwords = (nbytes + 7) // 8
+    M = np.zeros((n_docs, nwords * 8), dtype=np.uint8)
+    M[:, :nbytes] = np.frombuffer(b"".join(pdf["mask"]), dtype=np.uint8).reshape(
+        n_docs, nbytes
+    )
+    M64 = M.view(np.uint64)
+    sizes = pdf["sz"].to_numpy(dtype="int64")
+    int_ids = ids.dtype.kind in "iu"
+    spark = stats.sparkSession
+    if int_ids:
+        order = np.argsort(ids, kind="stable")
+        b_map = spark.sparkContext.broadcast((ids[order], order))
+    else:
+        b_map = spark.sparkContext.broadcast(
+            {v: i for i, v in enumerate(pdf["doc_id"].tolist())}
+        )
+    return (
+        b_map,
+        spark.sparkContext.broadcast(M64),
+        spark.sparkContext.broadcast(sizes),
+        int_ids,
+    )
+
+
+def _swar_popcount_rows(x):
+    import numpy as np
+
+    c55 = np.uint64(0x5555555555555555)
+    c33 = np.uint64(0x3333333333333333)
+    c0F = np.uint64(0x0F0F0F0F0F0F0F0F)
+    c01 = np.uint64(0x0101010101010101)
+    one, two, four, s56 = np.uint64(1), np.uint64(2), np.uint64(4), np.uint64(56)
+    x = x - ((x >> one) & c55)
+    x = (x & c33) + ((x >> two) & c33)
+    x = (x + (x >> four)) & c0F
+    return ((x * c01) >> s56).sum(axis=1).astype("int64")
+
+
+def _verify_units_jaccard(
+    units: DataFrame,
+    doc_field,
+    br,
+    threshold: float,
+) -> DataFrame:
+    """Enumerate pairs INSIDE each unit row (ids sorted asc; i-range
+    [lo, hi)) against the broadcast mask matrix and emit only pairs
+    with jaccard >= threshold. The size-ratio prefilter (lossless:
+    J <= min|.|/max|.|) skips popcounts that cannot pass."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    b_map, b_M, b_sz, int_ids = br
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", doc_field.dataType, False),
+            T.StructField("doc_b", doc_field.dataType, False),
+            T.StructField("inter_size", T.LongType(), False),
+            T.StructField("union_size", T.LongType(), False),
+        ]
+    )
+
+    flush_pairs = 1 << 20  # bound per-flush gather/popcount temporaries
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        MM, SZ, mapping = b_M.value, b_sz.value, b_map.value
+        if int_ids:
+            s_ids, s_rows = mapping
+
+        def to_rows(vals: "np.ndarray") -> "np.ndarray":
+            if int_ids:
+                i = np.searchsorted(s_ids, vals)
+                i = np.minimum(i, len(s_ids) - 1)
+                if not np.array_equal(s_ids[i], vals):
+                    raise KeyError("unit ids absent from the stats table")
+                return s_rows[i]
+            return np.fromiter((mapping[v] for v in vals), dtype=np.int64, count=len(vals))
+
+        def verify(da: "np.ndarray", db: "np.ndarray") -> "pd.DataFrame":
+            ra, rb = to_rows(da), to_rows(db)
+            sa, sb = SZ[ra], SZ[rb]
+            if threshold > 0:
+                pre = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+                da, db, ra, rb, sa, sb = (
+                    da[pre], db[pre], ra[pre], rb[pre], sa[pre], sb[pre]
+                )
+            inter = _swar_popcount_rows(MM[ra] & MM[rb])
+            union = sa + sb - inter
+            keep = inter >= threshold * union
+            return pd.DataFrame(
+                {
+                    "doc_a": da[keep],
+                    "doc_b": db[keep],
+                    "inter_size": inter[keep],
+                    "union_size": union[keep],
+                }
+            )
+
+        for pdf in batches:
+            acc_a, acc_b, acc_n = [], [], 0
+            for ids, lo, hi in zip(pdf["ids"], pdf["lo"], pdf["hi"]):
+                ids_arr = np.asarray(ids)
+                m = len(ids_arr)
+                lo, hi = int(lo), int(min(hi, m - 1))
+                if hi <= lo:
+                    continue
+                i_idx = np.arange(lo, hi, dtype=np.int64)
+                reps = m - 1 - i_idx
+                ia = np.repeat(i_idx, reps)
+                cum = np.cumsum(reps) - reps
+                ib = (
+                    np.arange(reps.sum(), dtype=np.int64)
+                    - np.repeat(cum, reps)
+                    + np.repeat(i_idx + 1, reps)
+                )
+                acc_a.append(ids_arr[ia])
+                acc_b.append(ids_arr[ib])
+                acc_n += len(ia)
+                if acc_n >= flush_pairs:
+                    yield verify(np.concatenate(acc_a), np.concatenate(acc_b))
+                    acc_a, acc_b, acc_n = [], [], 0
+            if acc_a:
+                yield verify(np.concatenate(acc_a), np.concatenate(acc_b))
+
+    return units.mapInPandas(run, out_schema)
+
+
+def _minhash_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_perm: int,
+    bands: int,
+    k: int,
+    max_block: int,
+    metrics: dict | None,
+    max_vocab: int = 1 << 16,
+    max_docs: int = 1_000_000,
+    max_mask_bytes: int = 1 << 28,
+) -> DataFrame | None:
+    """Bounded-vocab MinHash tier: same output as the distributed
+    path, no shingle explode, no pair shuffle. None -> caller falls
+    back to the distributed tier (unbounded vocab / too many docs /
+    duplicate ids)."""
+    nd = _norm_docs(_ensure_parallel(df), id_col, text_col).localCheckpoint(eager=False)
+    vocab = _collect_gram_vocab(nd, k, max_vocab)
+    if vocab is None:
+        return None
+    stats = _doc_gram_stats(nd, k, vocab, n_perm).localCheckpoint(eager=False)
+    nbytes = (len(vocab) + 7) // 8
+    br = _mask_broadcasts(stats, nbytes, max_docs, max_mask_bytes)
+    if br is None:
+        return None
+    rpb = n_perm // bands
+    band_keys = [
+        F.concat_ws(
+            "|", F.lit(str(b)), *[F.col(f"h{b * rpb + r}") for r in range(rpb)]
+        )
+        for b in range(bands)
+    ]
+    banded = stats.select(
+        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    )
+    buckets = banded.groupBy("band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count(F.lit(1)).alias("bs"),
+    )
+    if metrics is not None:
+        buckets = buckets.localCheckpoint(eager=False)
+        dropped = (
+            buckets.where(F.col("bs") > max_block)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("bs"), F.lit(0)).alias("nr"),
+            )
+            .first()
+        )
+        metrics["dropped_buckets"] = int(dropped["nb"])
+        metrics["dropped_rows"] = int(dropped["nr"])
+    units = (
+        buckets.where((F.col("bs") >= 2) & (F.col("bs") <= max_block))
+        .select(
+            "ids", F.lit(0).cast("long").alias("lo"), (F.col("bs") - 1).alias("hi")
+        )
+        # round-robin spread: the unit rows are tiny, so AQE would
+        # coalesce the bucket shuffle to ~1 partition and the verify
+        # (which fans each row out to O(bs^2) pairs) would run serially
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    verified = _verify_units_jaccard(units, stats.schema["doc_id"], br, threshold)
+    return verified.distinct()
+
+
+def _ngram_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int,
+    min_jaccard: float,
+    chunk: int = 192,
+    max_vocab: int = 1 << 16,
+    max_docs: int = 1_000_000,
+    max_mask_bytes: int = 1 << 28,
+) -> DataFrame | None:
+    """Bounded-vocab blocked-Jaccard tier: block pair enumeration is
+    LOCAL to the verify task (the O(block^2) pair table never touches
+    an exchange); big blocks are split into i-range chunks of
+    ``chunk`` rows for parallelism."""
+    base = _ensure_parallel(df)
+    nd = (
+        base.select(
+            F.col(id_col).alias("doc_id"),
+            _norm_text(F.col(text_col)).alias("t"),
+            F.col(block_col).alias("blk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    vocab = _collect_gram_vocab(nd, k, max_vocab)
+    if vocab is None:
+        return None
+    stats = _doc_gram_stats(nd.select("doc_id", "t"), k, vocab, 0).localCheckpoint(
+        eager=False
+    )
+    nbytes = (len(vocab) + 7) // 8
+    br = _mask_broadcasts(stats, nbytes, max_docs, max_mask_bytes)
+    if br is None:
+        return None
+    bl = (
+        nd.where(F.col("blk").isNotNull())
+        .groupBy("blk")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    units = bl.select(
+        "ids",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil((F.col("n") - 1) / F.lit(chunk)).cast("long") - 1
+            )
+        ).alias("ci"),
+    ).select(
+        "ids",
+        (F.col("ci") * chunk).alias("lo"),
+        F.least(F.col("ci") * chunk + chunk, F.col("n") - 1).alias("hi"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # (round-robin spread — same rationale as the minhash units: each
+    # row expands to O(chunk * block) pairs, so AQE's byte-based
+    # coalescing of the tiny unit rows would serialize the verify)
+    return _verify_units_jaccard(units, stats.schema["doc_id"], br, min_jaccard)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -460,7 +890,18 @@ def minhash_near_duplicates(
     bucket-join -> exact-Jaccard verify. Returns
     (doc_a, doc_b, inter_size, union_size) for pairs with
     jaccard >= threshold that share >= 1 LSH band. ``metrics`` (opt-in)
-    receives the capped-bucket drop counts from lsh_candidate_pairs."""
+    receives the capped-bucket drop counts from lsh_candidate_pairs.
+
+    Round 6: when the gram vocabulary is bounded the tier runs on the
+    Arrow fast path above (one pass computes signatures + masks, pairs
+    enumerate inside band buckets, nothing O(pairs) is shuffled); the
+    distributed shingle path below is the unbounded-vocab / 100 TB
+    fallback and computes identical output."""
+    fast = _minhash_fast(
+        df, id_col, text_col, threshold, n_perm, bands, k, max_block, metrics
+    )
+    if fast is not None:
+        return fast
     # The shingle explosion feeds three consumers (signatures, sizes,
     # intersection); localCheckpoint materializes it once instead of
     # re-exploding ~len(text) rows per doc three times. On a cluster
@@ -598,7 +1039,15 @@ def ngram_jaccard_pairs(
     When ``min_jaccard > 0`` the lossless size-ratio prefilter applies
     (J(A,B) <= min|.|/max|.|): pairs whose shingle-set sizes differ by
     more than the threshold ratio are dropped before the verify — the
-    tiny per-doc size table broadcasts."""
+    tiny per-doc size table broadcasts.
+
+    Round 6: bounded-vocab corpora run on the Arrow fast path (pairs
+    enumerated block-locally against broadcast masks — the O(block^2)
+    pair table never crosses an exchange); unbounded vocab falls back
+    to the distributed join path below, identical output."""
+    fast = _ngram_fast(df, id_col, text_col, block_col, k, min_jaccard)
+    if fast is not None:
+        return fast
     df = _ensure_parallel(df)
     sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"))
@@ -650,54 +1099,58 @@ def embedding_near_duplicates(
     N > the caps lives in operators/similarity.py; this exact tier is
     the oracle-checkable baseline.
 
-    Driver discipline: the cap is **dim-aware** — the row budget is
-    ``min(max_broadcast_rows, max_broadcast_bytes / (dim * 8))`` (so a
-    3072-dim corpus caps at ~87k rows under the 2 GB default, not a
-    blind 2M), and the matrix moves through ONE Arrow-batched
-    ``limit(cap + 1).toPandas()`` — no count()+collect() double action,
-    and never more than cap+1 rows regardless of input size.
+    Driver discipline (round 6 — the count-guard-then-collect shape
+    the round-5 CollectLimit finding mandates): the cap is
+    **dim-aware** — the row budget is ``min(max_broadcast_rows,
+    max_broadcast_bytes / (dim * 8))`` — and the base table is lazily
+    localCheckpointed, then ONE full aggregation returns (n, dim)
+    exactly; only when ``n <= cap`` does the Arrow ``toPandas()``
+    fetch run, so the driver never buffers more than the guarded byte
+    budget (the previous ``limit(cap + 1).toPandas()`` could buffer
+    up to cap+1 rows PER PARTITION of a wave before truncating).
+
+    Round-6 perf shape: the input is repartitioned if under-parallel
+    (a single-file parquet corpus otherwise runs the whole matmul on
+    1-2 cores), the scan side crosses the Python boundary via
+    ``mapInArrow`` with a zero-copy flatten of the list column, and
+    the checkpoint means probe + guard + scan share one
+    materialization of the upstream lineage.
     """
     from typing import Iterator
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    from pyspark.sql import types as T
-
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    schema_empty = "doc_a long, doc_b long"
-    # dim from MAX(size) over a BOUNDED prefix, not the first row (a
-    # null first vector gives size -1 and silently reverts the byte
-    # cap to the blind row budget) and not the full column (that would
-    # add an O(N) scan before the capped fetch, breaking this
-    # function's one-bounded-action discipline). 64k rows is enough to
-    # see past leading nulls/ragged rows on any sane corpus.
-    head = (
-        base.limit(65536)
-        .agg(F.max(F.size("v")).alias("d"), F.count(F.lit(1)).alias("n"))
-        .first()
+    base = (
+        _ensure_parallel(df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")))
+        .localCheckpoint(eager=False)
     )
+    schema_empty = "doc_a long, doc_b long"
+    head = base.agg(
+        F.max(F.size("v")).alias("d"), F.count(F.lit(1)).alias("n")
+    ).first()
     if head is None or head["d"] is None or head["d"] <= 0:
         if head is not None and int(head["n"]) > 0:
-            # rows exist but the probed prefix holds no valid vector —
-            # returning "no duplicates" here would silently pass bad
-            # input through; make the caller decide
+            # rows exist but none holds a valid vector — returning "no
+            # duplicates" would silently pass bad input through
             raise ValueError(
-                "embedding_near_duplicates: first "
-                f"{int(head['n'])} rows contain no non-empty vector "
-                f"column {vec_col!r} — input looks malformed (all-null "
-                "or empty arrays), refusing to return an empty result"
+                "embedding_near_duplicates: input rows contain no "
+                f"non-empty vector column {vec_col!r} — input looks "
+                "malformed (all-null or empty arrays), refusing to "
+                "return an empty result"
             )
         return df.sparkSession.createDataFrame([], schema_empty)
     dim = int(head["d"])
+    n = int(head["n"])
     cap = min(max_broadcast_rows, max_broadcast_bytes // (dim * 8))
-    pdf_all = base.limit(cap + 1).toPandas()
-    if len(pdf_all) > cap:
+    if n > cap:
         raise ValueError(
             f"embedding_near_duplicates exact tier needs the vector set "
             f"to fit in a broadcast (cap {cap} rows at dim {dim}); use "
             f"similarity.embedding_near_dup_lsh above the cap"
         )
+    # bounded by the count guard above; Arrow path (no row pickling)
+    pdf_all = base.toPandas()
     ids = pdf_all["doc_id"].to_numpy(dtype="int64")
     mat = np.array(list(pdf_all["v"]), dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -707,27 +1160,32 @@ def embedding_near_duplicates(
     b_ids = spark.sparkContext.broadcast(ids)
     b_unit = spark.sparkContext.broadcast(unit)
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_a", T.LongType(), False),
-            T.StructField("doc_b", T.LongType(), False),
-        ]
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         B_ids, B = b_ids.value, b_unit.value
-        for pdf in batches:
-            a_ids = pdf["doc_id"].to_numpy(dtype="int64")
-            A = np.array(list(pdf["v"]), dtype="float64")
-            if len(A) == 0:
-                yield pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        for batch in batches:
+            a_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("int64")
+            if len(a_ids) == 0:
                 continue
+            v = batch.column("v")
+            flat = v.flatten()
+            if len(flat) == len(a_ids) * B.shape[1] and v.null_count == 0:
+                # contiguous equal-length rows: one zero-copy reshape
+                A = (
+                    flat.to_numpy(zero_copy_only=False)
+                    .astype("float64", copy=False)
+                    .reshape(len(a_ids), B.shape[1])
+                )
+            else:  # ragged/null rows: per-row fallback (same values)
+                A = np.array([np.asarray(r, dtype="float64") for r in v.to_pylist()])
             an = np.linalg.norm(A, axis=1, keepdims=True)
             an[an == 0] = 1.0
             sims = (A / an) @ B.T
             ai, bi = np.nonzero(sims >= threshold)
             da, db = a_ids[ai], B_ids[bi]
             keep = da < db
-            yield pd.DataFrame({"doc_a": da[keep], "doc_b": db[keep]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(da[keep], type=pa.int64()), pa.array(db[keep], type=pa.int64())],
+                names=["doc_a", "doc_b"],
+            )
 
-    return base.mapInPandas(run, schema)
+    return base.mapInArrow(run, schema_empty)
