@@ -1171,7 +1171,14 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
-    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    # checkpoint: the query-vector probe, centroid training and
+    # assignment are separate actions over the same small table —
+    # materialize the cast once instead of re-scanning per action
+    embs = (
+        _embs(spark, sf_dir)
+        .withColumn("vid", F.col("vec_id").cast("long"))
+        .localCheckpoint(eager=False)
+    )
     q = [float(x) for x in embs.where("vid = 11").first()["embedding"]]
     cents = train_ivf_centroids(embs, "embedding", k=16)
     indexed = ivf_assign(embs, "embedding", cents)
@@ -1431,7 +1438,11 @@ def q_tree_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False).alias("is_leaf"),
         )
     )
-    chunks = leaves.unionByName(parents)
+    # tiny derived tree (700 distinct rows), but summarize_tree's
+    # depths-discovery action plus the caller's action would otherwise
+    # scan the 6M-row lineitem lineage once EACH — checkpoint the
+    # assembled tree so lineitem is read exactly once (round 6)
+    chunks = leaves.unionByName(parents).localCheckpoint(eager=False)
     summ = summarize_tree(chunks)
     docsum = document_summaries(summ).select(
         "url", F.lit("__doc__").alias("path_key"), "summary"
@@ -1657,7 +1668,11 @@ def q_ivf_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
-    embs = _embs(spark, sf_dir).withColumn("vid", F.col("vec_id").cast("long"))
+    embs = (
+        _embs(spark, sf_dir)
+        .withColumn("vid", F.col("vec_id").cast("long"))
+        .localCheckpoint(eager=False)
+    )
     q = [float(x) for x in embs.where("vid = 11").first()["embedding"]]
     cents = train_ivf_centroids(embs, "embedding", k=8)
     indexed = ivf_assign(embs, "embedding", cents)
@@ -2897,7 +2912,11 @@ def _planted_image_blobs(d: DataFrame) -> DataFrame:
                 blobs.append(encode_bmp(px) if i % 2 == 0 else encode_ppm(px))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
-    return d.select("doc_id").mapInPandas(gen, blob_schema)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    # the per-doc encode loop is CPU-bound and the corpus parquet scans
+    # as 1-2 splits — spread BEFORE generation, not after
+    return ensure_parallel(d.select("doc_id")).mapInPandas(gen, blob_schema)
 
 
 def q_decode_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:

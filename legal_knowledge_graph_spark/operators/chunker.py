@@ -137,7 +137,11 @@ def propose_and_align(extracted: DataFrame) -> DataFrame:
                 columns=[f.name for f in LEAF_SCHEMA.fields],
             )
 
-    return extracted.select("url", "body").mapInPandas(run, LEAF_SCHEMA)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(extracted.select("url", "body")).mapInPandas(
+        run, LEAF_SCHEMA
+    )
 
 
 def build_chunk_tree(leaves: DataFrame) -> DataFrame:

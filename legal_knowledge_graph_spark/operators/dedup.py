@@ -51,16 +51,12 @@ def _norm_text(col: Column) -> Column:
 
 
 def _ensure_parallel(df: DataFrame) -> DataFrame:
-    """Repartition iff the input is under-partitioned (fewer partitions
-    than half the default parallelism). A single-file parquet corpus
-    otherwise serializes the whole shingle explode onto one core (the
-    explode is the widest stage of every text tier). At cluster scale
-    the input already has thousands of partitions and this is a no-op —
-    it never ADDS a shuffle to a well-partitioned table."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if target > 1 and df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
+    """Repartition iff the input is under-partitioned — shared helper
+    (functions/partitioning.py since round 6); kept under this name
+    because callers and docs reference dedup._ensure_parallel."""
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(df)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -949,26 +945,77 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over whitespace tokens
     (duplicates kept — frequency-weighted). Token hash = first 8 hex
     chars of md5 (engine-portable). Bit i of the fingerprint is 1 iff
-    sum over tokens of (bit_i ? +1 : -1) > 0."""
-    toks = df.select(
+    sum over tokens of (bit_i ? +1 : -1) > 0.
+
+    Round 6: computed in ONE Arrow pass over the JVM-tokenized array
+    column (split stays JVM-side so regex semantics are unchanged)
+    instead of a token explode + per-row md5 + 32-aggregate groupBy —
+    token md5s are cached per task (natural-language token vocabularies
+    are Zipfian, so the cache hit rate is high), and the ±1 bit sums
+    are one reduceat per batch. Identical output: docs with no
+    non-empty token are absent, exactly like the explode path."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    base = _ensure_parallel(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(_norm_text(F.col(text_col)), r"\s+")).alias("tok"),
-    ).where(F.length("tok") > 0)
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    with_bits = toks.select("doc_id", h.alias("h"))
-    sums = with_bits.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+        F.split(_norm_text(F.col(text_col)), r"\s+").alias("toks"),
+    ).where(F.col("toks").isNotNull())
+    schema = T.StructType(
+        [base.schema["doc_id"], T.StructField("simhash", T.LongType(), False)]
     )
-    fp = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.alias("simhash"))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+
+        cache: dict = {}
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+        for b in batches:
+            v = b.column("toks")
+            n = len(v)
+            if n == 0:
+                continue
+            flat = v.flatten()
+            toks = flat.to_numpy(zero_copy_only=False)
+            # per-doc token counts from the list offsets (value_lengths
+            # is null-safe: null lists were filtered upstream)
+            lens = v.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_of = np.repeat(np.arange(n), lens)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            uh = np.empty(len(uniq), dtype=np.int64)
+            for i, t in enumerate(uniq):
+                h = cache.get(t)
+                if h is None:
+                    h = cache[t] = int(
+                        hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16
+                    )
+                uh[i] = h
+            nonblank = uniq != ""
+            tok_keep = nonblank[inv]
+            doc_of, inv = doc_of[tok_keep], inv[tok_keep]
+            counts = np.bincount(doc_of, minlength=n)
+            keep = counts > 0
+            if not keep.any():
+                continue
+            # ±1 bit rows per DISTINCT token, gathered per occurrence
+            ubits = (((uh[:, None] >> shifts) & 1) * 2 - 1).astype(np.int16)
+            bits = ubits[inv]
+            kept_counts = counts[keep]
+            starts = np.zeros(len(kept_counts), dtype=np.int64)
+            np.cumsum(kept_counts[:-1], out=starts[1:])
+            sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+            fp = ((sums > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id").filter(pa.array(keep)), pa.array(fp, type=pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return base.mapInArrow(run, schema)
 
 
 def simhash_near_duplicates(
@@ -995,7 +1042,7 @@ def simhash_near_duplicates(
     if max_hamming > bands - 1:
         raise ValueError("pigeonhole soundness needs max_hamming <= bands - 1")
     rpb = SIMHASH_BITS // bands
-    fps = simhash(_ensure_parallel(df), id_col, text_col)
+    fps = simhash(_ensure_parallel(df), id_col, text_col).localCheckpoint(eager=False)
     band_keys = [
         (
             F.lit(b * (1 << rpb))
@@ -1003,6 +1050,9 @@ def simhash_near_duplicates(
         ).cast("long")
         for b in range(bands)
     ]
+    fast = _simhash_fast_pairs(fps, band_keys, max_hamming, max_block)
+    if fast is not None:
+        return fast
     banded = fps.select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
@@ -1022,6 +1072,96 @@ def simhash_near_duplicates(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def _simhash_fast_pairs(
+    fps: DataFrame,
+    band_keys: list,
+    max_hamming: int,
+    max_block: int,
+    max_docs: int = 1_000_000,
+) -> DataFrame | None:
+    """Bucket-local Hamming verify: fingerprints are count-guarded,
+    collected via Arrow and broadcast (8 bytes/doc), band buckets are
+    grouped once, and each bucket's pairs are enumerated + verified
+    inside the task — the candidate pair table never touches an
+    exchange. None above the doc cap (the join path handles it)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n_docs = fps.count()
+    if n_docs == 0 or n_docs > max_docs:
+        return None
+    pdf = fps.toPandas()
+    ids = pdf["doc_id"].to_numpy()
+    if len(np.unique(ids)) != len(ids):
+        return None
+    if ids.dtype.kind not in "iu":
+        return None  # non-integer ids: keep the generic join path
+    order = np.argsort(ids, kind="stable")
+    spark = fps.sparkSession
+    b_map = spark.sparkContext.broadcast(
+        (ids[order], pdf["simhash"].to_numpy(dtype="int64")[order])
+    )
+
+    banded = fps.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    units = (
+        banded.groupBy("band_key")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.count(F.lit(1)).alias("bs"),
+        )
+        .where((F.col("bs") >= 2) & (F.col("bs") <= max_block))
+        .select("ids", F.lit(0).cast("long").alias("lo"), (F.col("bs") - 1).alias("hi"))
+        .repartition(fps.sparkSession.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", fps.schema["doc_id"].dataType, False),
+            T.StructField("doc_b", fps.schema["doc_id"].dataType, False),
+            T.StructField("hamming", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s_ids, s_fp = b_map.value
+        for pdf_b in batches:
+            acc_a, acc_b = [], []
+            for ids_l, lo, hi in zip(pdf_b["ids"], pdf_b["lo"], pdf_b["hi"]):
+                ids_arr = np.asarray(ids_l)
+                m = len(ids_arr)
+                lo, hi = int(lo), int(min(hi, m - 1))
+                if hi <= lo:
+                    continue
+                i_idx = np.arange(lo, hi, dtype=np.int64)
+                reps = m - 1 - i_idx
+                ia = np.repeat(i_idx, reps)
+                cum = np.cumsum(reps) - reps
+                ib = (
+                    np.arange(reps.sum(), dtype=np.int64)
+                    - np.repeat(cum, reps)
+                    + np.repeat(i_idx + 1, reps)
+                )
+                acc_a.append(ids_arr[ia])
+                acc_b.append(ids_arr[ib])
+            if not acc_a:
+                continue
+            da = np.concatenate(acc_a)
+            db = np.concatenate(acc_b)
+            fa = s_fp[np.searchsorted(s_ids, da)]
+            fb = s_fp[np.searchsorted(s_ids, db)]
+            x = (fa ^ fb).astype(np.uint64)[:, None]
+            ham = _swar_popcount_rows(x).astype("int32")
+            keep = ham <= max_hamming
+            yield pd.DataFrame(
+                {"doc_a": da[keep], "doc_b": db[keep], "hamming": ham[keep]}
+            )
+
+    return units.mapInPandas(run, out_schema).distinct()
 
 
 def ngram_jaccard_pairs(

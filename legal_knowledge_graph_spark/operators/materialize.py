@@ -261,23 +261,40 @@ def attach_vectors(nodes: DataFrame, dim: int = 64) -> DataFrame:
     summary-else-content rule (reference database.py:153-157,
     search_chunk.py:42) — Corpus vectors use summary-else-content too
     (database.py:183-196). Pure map stage."""
-    from legal_knowledge_graph_spark.operators.summarize import with_embeddings
+    from typing import Iterator
 
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+    from legal_knowledge_graph_spark.operators.summarize import embed_texts_np
+
+    # Round 6: the vector is computed INLINE in one map pass. The
+    # previous shape ran a (node_id, text) embedding branch and JOINED
+    # it back — a "pure map stage" that actually shuffled the full node
+    # payload twice (both join sides hash-partitioned by node_id).
     with_text = nodes.withColumn(
         "_vec_text",
         summary_else_content(F.coalesce("summary", F.lit("")), F.coalesce("content", F.lit(""))),
     )
-    vecs = with_embeddings(with_text, "_vec_text", ["node_id"], dim)
-    return (
-        with_text.drop("vector", "_vec_text")
-        .join(vecs, "node_id")
-        .withColumn(
-            "vector",
-            F.when(F.col("label") == "Entity", F.lit(None).cast("array<float>")).otherwise(
-                F.col("vector")
-            ),
-        )
+    out_cols = [f.name for f in nodes.schema.fields if f.name != "vector"]
+    schema = T.StructType(
+        [nodes.schema[c] for c in out_cols]
+        + [T.StructField("vector", T.ArrayType(T.FloatType()), True)]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = embed_texts_np(list(pdf["_vec_text"].fillna("")), dim)
+            out = pdf[out_cols].copy()
+            out["vector"] = [
+                None if lbl == "Entity" else v
+                for lbl, v in zip(pdf["label"], vecs)
+            ]
+            yield out
+
+    return ensure_parallel(with_text).mapInPandas(run, schema)
 
 
 def entity_degrees_salted(triples: DataFrame, n_salts: int = 16) -> DataFrame:

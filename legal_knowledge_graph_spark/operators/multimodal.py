@@ -235,7 +235,9 @@ def image_pixel_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(df.select(id_col, bin_col)).mapInPandas(run, schema)
 
 
 def not_implemented_decode(blobs: pd.Series) -> np.ndarray:
@@ -284,7 +286,9 @@ def decode_features(
             feats = fn(pdf[bin_col])
             yield pd.DataFrame({id_col: pdf[id_col], "features": list(feats)})
 
-    return df.select(id_col, bin_col).mapInPandas(run, schema)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(df.select(id_col, bin_col)).mapInPandas(run, schema)
 
 
 def frame_sample(

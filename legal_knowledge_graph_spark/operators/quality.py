@@ -165,8 +165,12 @@ def ngram_contamination(
     bench_grams = F.broadcast(
         bench_staged.select(F.explode("_g").alias("gram")).distinct()
     )
-    doc_staged = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_t")
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    # the n-gram fan-out is NARROW (tokenize -> transform -> explode),
+    # so a 1-2-split parquet corpus would run it on 1-2 cores
+    doc_staged = ensure_parallel(
+        docs.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_t"))
     ).withColumn("_g", _word_ngrams("_t", n))
     doc_grams = doc_staged.select(
         "doc_id", F.explode(F.array_distinct("_g")).alias("gram")

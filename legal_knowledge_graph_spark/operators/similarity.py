@@ -445,7 +445,9 @@ def ivf_assign(vectors: DataFrame, vec_col: str, centroids: list[list[float]]) -
             out["ivf_cell"] = cells
             yield out
 
-    return vectors.mapInPandas(run, schema)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(vectors).mapInPandas(run, schema)
 
 
 def ivf_top_k(

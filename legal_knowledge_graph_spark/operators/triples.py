@@ -79,7 +79,11 @@ def detect_mentions(extracted: DataFrame) -> DataFrame:
                     ends.append(int(off) + m.end())
             yield pd.DataFrame({"url": urls, "surface": surfaces, "m_start": starts, "m_end": ends})
 
-    return extracted.select("url", "body", "body_span_start").mapInPandas(run, MENTIONS_SCHEMA)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(
+        extracted.select("url", "body", "body_span_start")
+    ).mapInPandas(run, MENTIONS_SCHEMA)
 
 
 def extract_triples(extracted: DataFrame) -> DataFrame:
@@ -105,7 +109,11 @@ def extract_triples(extracted: DataFrame) -> DataFrame:
                 columns=["url", "subj_surface", "pred", "obj_surface", "span_start", "span_end"],
             )
 
-    return extracted.select("url", "body", "body_span_start").mapInPandas(run, RAW_TRIPLES_SCHEMA)
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
+    return ensure_parallel(
+        extracted.select("url", "body", "body_span_start")
+    ).mapInPandas(run, RAW_TRIPLES_SCHEMA)
 
 
 def canonicalize_triples(raw_triples: DataFrame, canonical_map: DataFrame) -> DataFrame:

@@ -120,10 +120,9 @@ def run_pipeline(
             .unionByName(chunk_nodes(chunks_abs))
             .unionByName(entity_nodes(canonical_map))
         )
-        # attach_vectors self-joins its input (map-stage embeddings on
-        # one branch, full rows on the other) — checkpoint the union so
-        # the corpus/chunk/entity build isn't executed once per branch.
-        nodes = nodes.localCheckpoint(eager=False)
+        # attach_vectors is a true single-pass map since round 6 (no
+        # self-join), so the union has ONE consumer and needs no
+        # checkpoint — one materialization fewer per run.
         # Stage boundary 3: materialize — cluster by id bucket so the
         # bucketed write produces one file set per bucket.
         return attach_vectors(nodes, dim=embed_dim).repartition(F.col("bucket"))
