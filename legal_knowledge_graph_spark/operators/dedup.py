@@ -474,6 +474,74 @@ def _gram_set(t: str, k: int) -> set:
     return {t[i : i + k] for i in range(len(t) - k + 1)} if len(t) >= k else {t}
 
 
+#: packed-gram padding: strictly above every valid Unicode codepoint
+#: (max 0x10FFFF), so "short text" grams (< k codepoints) pack
+#: injectively alongside full k-grams.
+_GRAM_SENTINEL = 0x1FFFFF
+
+
+def _packed_doc_grams(texts: list, k: int):
+    """Vectorized per-doc DISTINCT char-k-grams (k <= 3) as packed
+    int64 codes: gram g -> sum_j cp_j << (21*j), positions past the
+    gram's end (texts shorter than k) padded with ``_GRAM_SENTINEL``.
+    21 bits/codepoint x 3 <= 63 bits, and the sentinel exceeds every
+    valid codepoint, so packing is a bijection onto gram strings —
+    identical gram sets to :func:`_gram_set`, computed in a handful of
+    numpy passes instead of one Python set op per (doc, gram).
+
+    Returns ``(doc_of, packed)``: distinct grams per doc, sorted by
+    (doc index, packed code). None entries in ``texts`` count as "".
+    """
+    import numpy as np
+
+    n = len(texts)
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in texts), dtype=np.int64, count=n
+    )
+    concat = "".join(t if t is not None else "" for t in texts)
+    cps = np.frombuffer(concat.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    cps = np.concatenate([cps, np.full(k, _GRAM_SENTINEL, dtype=np.int64)])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # docs with len >= k contribute len-k+1 window grams; shorter docs
+    # one whole-text gram (the _gram_set rule)
+    ng = np.where(lens >= k, lens - k + 1, 1)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), ng)
+    g_end = np.cumsum(ng)
+    pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(g_end - ng, ng) + np.repeat(
+        starts, ng
+    )
+    lim = np.repeat(starts + lens, ng)  # doc end offset per window
+    packed = np.zeros(len(pos), dtype=np.int64)
+    for j in range(k):
+        idx = pos + j
+        cj = np.where(idx < lim, cps[idx], _GRAM_SENTINEL)
+        packed |= cj << (21 * j)
+    order = np.lexsort((packed, doc_of))
+    d_s, p_s = doc_of[order], packed[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    keep[:1] = True
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (p_s[1:] != p_s[:-1])
+    return d_s[keep], p_s[keep]
+
+
+def _unpack_gram(p: int, k: int) -> str:
+    """Inverse of the packing in :func:`_packed_doc_grams`."""
+    return "".join(
+        chr((p >> (21 * j)) & 0x1FFFFF)
+        for j in range(k)
+        if ((p >> (21 * j)) & 0x1FFFFF) != _GRAM_SENTINEL
+    )
+
+
+def _pack_gram(g: str, k: int) -> int:
+    """String -> packed code (grams have <= k codepoints)."""
+    p = 0
+    for j in range(k):
+        p |= (ord(g[j]) if j < len(g) else _GRAM_SENTINEL) << (21 * j)
+    return p
+
+
 def _norm_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, t=lower(trim(text))) — normalization stays JVM-side so
     locale/trim semantics are identical to the distributed path."""
@@ -487,7 +555,37 @@ def _collect_gram_vocab(norm_docs: DataFrame, k: int, max_vocab: int) -> list | 
     ``max_vocab``. Each task emits its own DISTINCT grams (bounded by
     the vocab size, not the corpus size), so the driver collect is
     bounded by construction."""
+    import numpy as np
     import pyarrow as pa
+
+    if k <= 3:
+        # vectorized: tasks emit distinct PACKED int64 codes (8 bytes
+        # vs a string cell through the distinct shuffle); the bounded
+        # driver-side vocab decodes once per distinct gram
+        def emit_packed(batches):
+            acc = None
+            for b in batches:
+                texts = b.column("t").to_pylist()
+                if not texts:
+                    continue
+                _, p = _packed_doc_grams(texts, k)
+                u = np.unique(p)
+                acc = u if acc is None else np.union1d(acc, u)
+            if acc is not None and len(acc):
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(acc, type=pa.int64())], names=["gram"]
+                )
+
+        rows = (
+            norm_docs.select("t")
+            .mapInArrow(emit_packed, "gram long")
+            .distinct()
+            .limit(max_vocab + 1)
+            .collect()
+        )
+        if len(rows) > max_vocab:
+            return None
+        return sorted(_unpack_gram(r["gram"], k) for r in rows)
 
     def emit(batches):
         seen: set = set()
@@ -546,9 +644,23 @@ def _doc_gram_stats(
 
     spark = norm_docs.sparkSession
     nbytes = (len(vocab) + 7) // 8
-    b_vocab = spark.sparkContext.broadcast(
-        ({g: i for i, g in enumerate(vocab)}, _vocab_g_vals(vocab))
-    )
+    if k <= 3:
+        # vectorized path: vocab as SORTED packed codes; the mask bit
+        # index is the code's rank (a consistent bijection — masks are
+        # only ever intersected against each other, so reindexing from
+        # string-sorted to packed-sorted order changes no output) and
+        # the md5-derived g values are re-aligned to that order.
+        vocab_packed = np.fromiter(
+            (_pack_gram(g, k) for g in vocab), dtype=np.int64, count=len(vocab)
+        )
+        vorder = np.argsort(vocab_packed, kind="stable")
+        b_vocab = spark.sparkContext.broadcast(
+            (vocab_packed[vorder], _vocab_g_vals(vocab)[vorder])
+        )
+    else:
+        b_vocab = spark.sparkContext.broadcast(
+            ({g: i for i, g in enumerate(vocab)}, _vocab_g_vals(vocab))
+        )
     coeffs = _perm_coeffs(n_perm) if n_perm else []
 
     fields = [norm_docs.schema["doc_id"], T.StructField("mask", T.BinaryType(), False),
@@ -563,15 +675,25 @@ def _doc_gram_stats(
             n = len(texts)
             if n == 0:
                 continue
-            counts = np.empty(n, dtype=np.int64)
-            code_lists = []
-            for i, t in enumerate(texts):
-                gs = _gram_set(t or "", k)
-                code_lists.append(
-                    np.fromiter((idx[g] for g in gs), dtype=np.int64, count=len(gs))
-                )
-                counts[i] = len(gs)
-            codes = np.concatenate(code_lists)
+            if k <= 3:
+                doc_of, pk = _packed_doc_grams(texts, k)
+                codes = np.searchsorted(idx, pk)
+                codes = np.minimum(codes, len(idx) - 1)
+                if not np.array_equal(idx[codes], pk):
+                    raise KeyError(
+                        "doc grams absent from the collected vocabulary"
+                    )
+                counts = np.bincount(doc_of, minlength=n)
+            else:
+                counts = np.empty(n, dtype=np.int64)
+                code_lists = []
+                for i, t in enumerate(texts):
+                    gs = _gram_set(t or "", k)
+                    code_lists.append(
+                        np.fromiter((idx[g] for g in gs), dtype=np.int64, count=len(gs))
+                    )
+                    counts[i] = len(gs)
+                codes = np.concatenate(code_lists)
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             M = np.zeros((n, nbytes), dtype=np.uint8)
@@ -677,9 +799,18 @@ def _verify_units_jaccard(
     )
 
     flush_pairs = 1 << 20  # bound per-flush gather/popcount temporaries
+    # GEMM switch: a big unit (a whole ngram block, a stop-text band
+    # bucket) computes ALL its pairwise intersections as ONE float32
+    # matrix product over the unpacked 0/1 mask rows instead of a
+    # per-pair mask gather + SWAR popcount — exact (counts <= vocab <=
+    # 2^16 << 2^24, the float32 integer range) and BLAS-fast. Small
+    # units keep the pairwise path (GEMM setup would dominate).
+    gemm_min_pairs = 1 << 14
+    gemm_budget_floats = 1 << 26  # 256 MB float32 operand ceiling
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         MM, SZ, mapping = b_M.value, b_sz.value, b_map.value
+        unpack_cols = MM.shape[1] * 64
         if int_ids:
             s_ids, s_rows = mapping
 
@@ -712,6 +843,31 @@ def _verify_units_jaccard(
                 }
             )
 
+        def gemm_unit(ids_arr: "np.ndarray", lo: int, hi: int) -> "pd.DataFrame":
+            rows = to_rows(ids_arr)
+            G = np.unpackbits(
+                MM[rows].view(np.uint8), axis=1, bitorder="little"
+            ).astype(np.float32)
+            # float32 counts are exact integers (<= vocab <= 2^16);
+            # cast to int64 BEFORE thresholding so the keep predicate
+            # is bit-identical to the pairwise path's int64 math
+            inter = (G[lo:hi] @ G.T).astype(np.int64)  # (hi-lo, m)
+            sa = SZ[rows][lo:hi]
+            sb = SZ[rows]
+            union = sa[:, None] + sb[None, :] - inter
+            keep = inter >= threshold * union
+            # only pairs with j strictly after i (ids sorted asc)
+            keep &= np.arange(len(ids_arr))[None, :] > np.arange(lo, hi)[:, None]
+            ri, cj = np.nonzero(keep)
+            return pd.DataFrame(
+                {
+                    "doc_a": ids_arr[ri + lo],
+                    "doc_b": ids_arr[cj],
+                    "inter_size": inter[keep],
+                    "union_size": union[keep],
+                }
+            )
+
         for pdf in batches:
             acc_a, acc_b, acc_n = [], [], 0
             for ids, lo, hi in zip(pdf["ids"], pdf["lo"], pdf["hi"]):
@@ -719,6 +875,12 @@ def _verify_units_jaccard(
                 m = len(ids_arr)
                 lo, hi = int(lo), int(min(hi, m - 1))
                 if hi <= lo:
+                    continue
+                if (
+                    (hi - lo) * m >= gemm_min_pairs
+                    and m * unpack_cols <= gemm_budget_floats
+                ):
+                    yield gemm_unit(ids_arr, lo, hi)
                     continue
                 i_idx = np.arange(lo, hi, dtype=np.int64)
                 reps = m - 1 - i_idx
@@ -981,13 +1143,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if n == 0:
                 continue
             flat = v.flatten()
-            toks = flat.to_numpy(zero_copy_only=False)
             # per-doc token counts from the list offsets (value_lengths
             # is null-safe: null lists were filtered upstream)
             lens = v.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
             doc_of = np.repeat(np.arange(n), lens)
-            uniq, inv = np.unique(toks, return_inverse=True)
+            # Arrow dictionary_encode = C-level distinct+inverse; the
+            # np.unique it replaces sorted millions of Python strings
+            # per batch (order is irrelevant — only the per-distinct-
+            # token md5 mapping matters)
+            enc = flat.dictionary_encode()
+            inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = enc.dictionary.to_pylist()
             uh = np.empty(len(uniq), dtype=np.int64)
+            nonblank = np.empty(len(uniq), dtype=bool)
             for i, t in enumerate(uniq):
                 h = cache.get(t)
                 if h is None:
@@ -995,7 +1163,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                         hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16
                     )
                 uh[i] = h
-            nonblank = uniq != ""
+                nonblank[i] = t != ""
             tok_keep = nonblank[inv]
             doc_of, inv = doc_of[tok_keep], inv[tok_keep]
             counts = np.bincount(doc_of, minlength=n)
@@ -1034,58 +1202,19 @@ def simhash_near_duplicates(
     distance ``bands - 1`` agrees EXACTLY on at least one band, so the
     band-value bucket join finds every qualifying pair (lossless for
     ``max_hamming <= bands - 1``; the default 3 <= 4-1 qualifies).
-    Entirely native expressions (shift/mask band keys, bit_count(xor)
-    verify) — no Python anywhere; buckets above ``max_block`` are
-    excluded like the other LSH tiers (a degenerate all-same-band
-    corpus would otherwise emit B^2 pairs).
+
+    Physical shape (round 6): each band bucket carries its members'
+    (doc_id, simhash) pairs through ONE groupBy, and pairs are
+    enumerated + Hamming-verified INSIDE the bucket's task — the
+    candidate pair table never touches an exchange, nothing is
+    collected to the driver, and the fingerprint table is consumed by
+    exactly one stage (the earlier shape collected + broadcast all
+    fingerprints — two extra driver actions — and before that shuffled
+    an O(pairs) candidate table through two joins). Buckets above
+    ``max_block`` are excluded like the other LSH tiers (a degenerate
+    all-same-band corpus would otherwise emit B^2 pairs); per-task
+    memory is bounded by max_block^2/2 enumerated pairs per bucket.
     """
-    if max_hamming > bands - 1:
-        raise ValueError("pigeonhole soundness needs max_hamming <= bands - 1")
-    rpb = SIMHASH_BITS // bands
-    fps = simhash(_ensure_parallel(df), id_col, text_col).localCheckpoint(eager=False)
-    band_keys = [
-        (
-            F.lit(b * (1 << rpb))
-            + F.shiftright(F.col("simhash"), b * rpb).bitwiseAND(F.lit((1 << rpb) - 1))
-        ).cast("long")
-        for b in range(bands)
-    ]
-    fast = _simhash_fast_pairs(fps, band_keys, max_hamming, max_block)
-    if fast is not None:
-        return fast
-    banded = fps.select(
-        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
-    )
-    # distinct deferred to the (tiny) thresholded output — the
-    # Hamming verify is idempotent per pair (same rationale as the
-    # MinHash tier)
-    cand = _banded_pairs(banded, max_block, None, distinct=False)
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
-    )
-
-
-def _simhash_fast_pairs(
-    fps: DataFrame,
-    band_keys: list,
-    max_hamming: int,
-    max_block: int,
-    max_docs: int = 1_000_000,
-) -> DataFrame | None:
-    """Bucket-local Hamming verify: fingerprints are count-guarded,
-    collected via Arrow and broadcast (8 bytes/doc), band buckets are
-    grouped once, and each bucket's pairs are enumerated + verified
-    inside the task — the candidate pair table never touches an
-    exchange. None above the doc cap (the join path handles it)."""
     from typing import Iterator
 
     import numpy as np
@@ -1093,31 +1222,35 @@ def _simhash_fast_pairs(
 
     from pyspark.sql import types as T
 
-    n_docs = fps.count()
-    if n_docs == 0 or n_docs > max_docs:
-        return None
-    pdf = fps.toPandas()
-    ids = pdf["doc_id"].to_numpy()
-    if len(np.unique(ids)) != len(ids):
-        return None
-    if ids.dtype.kind not in "iu":
-        return None  # non-integer ids: keep the generic join path
-    order = np.argsort(ids, kind="stable")
-    spark = fps.sparkSession
-    b_map = spark.sparkContext.broadcast(
-        (ids[order], pdf["simhash"].to_numpy(dtype="int64")[order])
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole soundness needs max_hamming <= bands - 1")
+    rpb = SIMHASH_BITS // bands
+    fps = simhash(_ensure_parallel(df), id_col, text_col)
+    band_keys = [
+        (
+            F.lit(b * (1 << rpb))
+            + F.shiftright(F.col("simhash"), b * rpb).bitwiseAND(F.lit((1 << rpb) - 1))
+        ).cast("long")
+        for b in range(bands)
+    ]
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(F.array(*band_keys)).alias("band_key")
     )
-
-    banded = fps.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    # sort by struct = sort by doc_id (unique within a bucket: band_key
+    # values from different bands never collide), so doc_a < doc_b
+    # falls out of position order
     units = (
         banded.groupBy("band_key")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem"),
             F.count(F.lit(1)).alias("bs"),
         )
         .where((F.col("bs") >= 2) & (F.col("bs") <= max_block))
-        .select("ids", F.lit(0).cast("long").alias("lo"), (F.col("bs") - 1).alias("hi"))
-        .repartition(fps.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col("mem.doc_id").alias("ids"), F.col("mem.simhash").alias("shs"))
+        # round-robin spread: unit rows are tiny but fan out to
+        # O(bs^2) pairs — AQE's byte-based coalescing would serialize
+        # the verify (same rationale as the jaccard units)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     out_schema = T.StructType(
         [
@@ -1126,18 +1259,26 @@ def _simhash_fast_pairs(
             T.StructField("hamming", T.IntegerType(), False),
         ]
     )
+    flush_pairs = 1 << 20
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        s_ids, s_fp = b_map.value
+        def verify(da, db, fa, fb) -> "pd.DataFrame":
+            x = (fa ^ fb).astype(np.uint64)[:, None]
+            ham = _swar_popcount_rows(x).astype("int32")
+            keep = ham <= max_hamming
+            return pd.DataFrame(
+                {"doc_a": da[keep], "doc_b": db[keep], "hamming": ham[keep]}
+            )
+
         for pdf_b in batches:
-            acc_a, acc_b = [], []
-            for ids_l, lo, hi in zip(pdf_b["ids"], pdf_b["lo"], pdf_b["hi"]):
+            acc_a, acc_b, acc_fa, acc_fb, acc_n = [], [], [], [], 0
+            for ids_l, sh_l in zip(pdf_b["ids"], pdf_b["shs"]):
                 ids_arr = np.asarray(ids_l)
+                fp_arr = np.asarray(sh_l, dtype=np.int64)
                 m = len(ids_arr)
-                lo, hi = int(lo), int(min(hi, m - 1))
-                if hi <= lo:
+                if m < 2:
                     continue
-                i_idx = np.arange(lo, hi, dtype=np.int64)
+                i_idx = np.arange(0, m - 1, dtype=np.int64)
                 reps = m - 1 - i_idx
                 ia = np.repeat(i_idx, reps)
                 cum = np.cumsum(reps) - reps
@@ -1148,19 +1289,23 @@ def _simhash_fast_pairs(
                 )
                 acc_a.append(ids_arr[ia])
                 acc_b.append(ids_arr[ib])
-            if not acc_a:
-                continue
-            da = np.concatenate(acc_a)
-            db = np.concatenate(acc_b)
-            fa = s_fp[np.searchsorted(s_ids, da)]
-            fb = s_fp[np.searchsorted(s_ids, db)]
-            x = (fa ^ fb).astype(np.uint64)[:, None]
-            ham = _swar_popcount_rows(x).astype("int32")
-            keep = ham <= max_hamming
-            yield pd.DataFrame(
-                {"doc_a": da[keep], "doc_b": db[keep], "hamming": ham[keep]}
-            )
+                acc_fa.append(fp_arr[ia])
+                acc_fb.append(fp_arr[ib])
+                acc_n += len(ia)
+                if acc_n >= flush_pairs:
+                    yield verify(
+                        np.concatenate(acc_a), np.concatenate(acc_b),
+                        np.concatenate(acc_fa), np.concatenate(acc_fb),
+                    )
+                    acc_a, acc_b, acc_fa, acc_fb, acc_n = [], [], [], [], 0
+            if acc_a:
+                yield verify(
+                    np.concatenate(acc_a), np.concatenate(acc_b),
+                    np.concatenate(acc_fa), np.concatenate(acc_fb),
+                )
 
+    # distinct deferred to the (tiny) thresholded output — the Hamming
+    # verify is idempotent per pair (same rationale as the MinHash tier)
     return units.mapInPandas(run, out_schema).distinct()
 
 

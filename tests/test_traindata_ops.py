@@ -631,3 +631,107 @@ def test_lsh_bucket_null_and_ragged_rows_land_in_bucket_zero(spark):
     for vid in (2, 3, 4, 5):
         assert got[vid] == (0, 0), vid
     assert got[1] != (0, 0)  # a real vector gets a real bucket
+
+
+# ---------------------------------------------------------------- round 6:
+# vectorized packed-gram extraction + GEMM verify + bucket-local simhash
+
+
+def test_packed_gram_parity_with_gram_set():
+    """The packed-codepoint gram extraction must reproduce _gram_set
+    exactly for every k it claims (short texts, empty, None, astral
+    codepoints, repeats)."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        _gram_set,
+        _pack_gram,
+        _packed_doc_grams,
+        _unpack_gram,
+    )
+
+    texts = [
+        "hello world", "", "ab", "a", "abc", "ααβγδ unicode ™",
+        "🎉🎊x🎉yz", "aaa", "the the the", None, "  spaced  ", "x" * 300,
+    ]
+    for k in (1, 2, 3):
+        doc_of, packed = _packed_doc_grams(texts, k)
+        for i, t in enumerate(texts):
+            want = _gram_set(t or "", k)
+            got = {_unpack_gram(int(p), k) for p in packed[doc_of == i]}
+            assert got == want, (k, i, t)
+            for g in want:
+                assert _unpack_gram(_pack_gram(g, k), k) == g
+
+
+def test_jaccard_fast_path_equals_distributed(spark, docs, monkeypatch):
+    """The bounded-vocab Arrow fast paths (packed grams, broadcast
+    masks, block-local pair enumeration incl. the GEMM branch for big
+    blocks) must match the distributed shingle-join path row for row."""
+    from legal_knowledge_graph_spark.operators import dedup
+
+    d = docs.where("doc_id < 300").select(
+        "doc_id", "text", F.lit("blk").alias("one_block")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # one 300-doc block => first i-chunks enumerate >= 2^14 pairs, so
+    # the GEMM branch runs for them and the pairwise branch for the tail
+    fast = rows(
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", "one_block", min_jaccard=0.5)
+    )
+    monkeypatch.setattr(dedup, "_ngram_fast", lambda *a, **kw: None)
+    dist = rows(
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", "one_block", min_jaccard=0.5)
+    )
+    monkeypatch.undo()
+    assert fast == dist and len(fast) > 0
+
+    fastm = rows(dedup.minhash_near_duplicates(d, "doc_id", "text", threshold=0.7))
+    monkeypatch.setattr(dedup, "_minhash_fast", lambda *a, **kw: None)
+    distm = rows(dedup.minhash_near_duplicates(d, "doc_id", "text", threshold=0.7))
+    monkeypatch.undo()
+    assert fastm == distm
+
+
+def test_simhash_near_dup_bucket_local_equals_bruteforce(spark, docs):
+    """The bucket-local Hamming verify (fingerprints carried through
+    the band buckets, no driver collect) must equal a from-scratch
+    banding + exhaustive in-bucket recompute, including the cap."""
+    import itertools
+    from collections import defaultdict
+
+    from legal_knowledge_graph_spark.operators.dedup import (
+        simhash as simhash_fn,
+        simhash_near_duplicates,
+    )
+
+    d = docs.where("doc_id < 120").select("doc_id", "text")
+    mut = d.where("doc_id < 30").select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    got = sorted(
+        tuple(r)
+        for r in simhash_near_duplicates(
+            corpus, "doc_id", "text", max_hamming=3, max_block=40
+        ).collect()
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fn(corpus, "doc_id", "text").collect()
+    }
+    buckets = defaultdict(list)
+    for i, s in fps.items():
+        for b in range(4):
+            buckets[(b, (s >> (b * 8)) & 255)].append(i)
+    want = set()
+    for mem in buckets.values():
+        if len(mem) > 40:
+            continue
+        for a, b in itertools.combinations(sorted(mem), 2):
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == sorted(want) and len(got) > 0
