@@ -153,12 +153,26 @@ def connected_components(
         return nodes.select("node", F.col("node").alias("component"))
 
     if prev[0] <= driver_cap:
-        # the checksum materialized the checkpoint, so this collect
-        # reads executor-cached blocks — bounded by construction
-        assign = _driver_union_find(e.collect())
+        # the checksum materialized the checkpoint, so this fetch reads
+        # executor-cached blocks — bounded by construction. Arrow path
+        # (toPandas) rather than collect(): 1M Row objects cost 10-20x
+        # the raw 16 MB of longs in driver heap and serialize row by
+        # row; two int64 numpy columns transfer as a handful of Arrow
+        # buffers. tolist() converts to plain ints for the union-find
+        # dict (and for createDataFrame below).
+        import pandas as pd
+
+        epd = e.toPandas()
+        assign = _driver_union_find(
+            zip(epd["src"].tolist(), epd["dst"].tolist())
+        )
         spark = edges.sparkSession
+        assign_pdf = pd.DataFrame(assign, columns=["node", "component"])
         assign_df = F.broadcast(
-            spark.createDataFrame(assign, "node long, component long")
+            # pandas -> Arrow createDataFrame (row-tuple ingestion
+            # pickles per row; at the 1M-edge cap assign can hold ~2M
+            # entries)
+            spark.createDataFrame(assign_pdf, "node long, component long")
         )
         # nodes stays distributed (self-loop-only vertices can be
         # unbounded even when the canonical edge set is tiny); the

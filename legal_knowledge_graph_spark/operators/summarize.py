@@ -84,56 +84,119 @@ def summarize_tree(chunks: DataFrame) -> DataFrame:
     """chunks(..., depth, is_leaf, content) -> + summary column.
 
     Level-by-level bottom-up, exactly the reference's schedule
-    (summarizer.py:124 sorts depths descending). Depths are discovered
-    once (small distinct), then each level above the leaves aggregates
-    its children's ``summary-else-content`` in sibling order joined
-    with "\\n\\n" (summarizer.py:137-141) and summarizes that input.
+    (summarizer.py:124 sorts depths descending): leaves summarize their
+    own content; each level above aggregates its children's
+    ``summary-else-content`` in sibling order joined with "\\n\\n"
+    (summarizer.py:137-141) and summarizes that input.
+
+    Physical shape (round 6): the tree is url-local — no summary ever
+    crosses documents — so the level loop runs INSIDE one Arrow pass
+    over url-partitioned, url-sorted chunks (per-document state carried
+    across Arrow batches, the structure.py pattern). The previous
+    global level loop paid two exchanges per level plus a full-payload
+    sort-merge join to re-attach summaries, and one driver action to
+    discover depths; this shape pays ONE url shuffle total, and the
+    per-level joins become vectorized in-task pandas merges with
+    identical fan-out/null semantics (pinned by the old-vs-new
+    equivalence test). The model slot is unchanged:
+    ``_summarize_series`` still receives whole batches of texts per
+    level across every document in the task.
     """
-    keep = ["url", "path_key"]
-    depths = sorted(
-        (r["depth"] for r in chunks.select("depth").distinct().collect()), reverse=True
+    import numpy as np
+
+    prepared = chunks.repartition(F.col("url")).sortWithinPartitions("url")
+    schema = T.StructType(
+        list(chunks.schema.fields) + [T.StructField("summary", T.StringType(), True)]
     )
-    if not depths:
-        return chunks.withColumn("summary", F.lit(None).cast("string"))
-    max_depth = depths[0]
+    in_cols = list(chunks.columns)
 
-    # leaves (at any depth) summarize their own content
-    leaf_sum = _summ_stage(chunks.where("is_leaf"), "content", keep)
-    summaries = leaf_sum  # (url, path_key, summary)
-
-    for d in [d for d in depths if d < max_depth]:
-        parents = chunks.where((F.col("depth") == d) & ~F.col("is_leaf"))
-        kids = (
-            chunks.where(F.col("depth") == d + 1)
-            .join(summaries, ["url", "path_key"], "left")
-            .select(
-                "url",
-                F.col("parent_path").alias("path_key"),
-                "sibling_order",
-                F.when(
-                    F.length(F.trim(F.coalesce("summary", F.lit("")))) > 0, F.col("summary")
-                )
-                .otherwise(F.col("content"))
-                .alias("child_text"),
+    def process(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # leaves (at any depth) summarize their own content
+        leaf = pdf[pdf["is_leaf"].astype(bool)]
+        sums = pd.DataFrame(
+            {
+                "url": leaf["url"],
+                "path_key": leaf["path_key"],
+                "summary": _summarize_series(leaf["content"]),
+            }
+        )
+        depths = sorted(pdf["depth"].unique(), reverse=True)
+        for d in [d for d in depths if d < depths[0]]:
+            kids = pdf[pdf["depth"] == d + 1][
+                ["url", "path_key", "parent_path", "sibling_order", "content"]
+            ].merge(sums, on=["url", "path_key"], how="left")
+            s = kids["summary"]
+            use_sum = s.notna() & (s.fillna("").str.strip() != "")
+            kids["child_text"] = np.where(use_sum, s, kids["content"])
+            kids = kids[kids["parent_path"].notna()]
+            if len(kids) == 0:
+                continue
+            # sort by (url, parent_path, sibling_order, child_text) —
+            # the struct-sort tiebreak of the old collect_list path,
+            # nulls FIRST (Spark's struct-field ordering); factorize
+            # codes keep it vectorized (NA code -1 already sorts first)
+            u_code = pd.factorize(kids["url"], sort=False)[0]
+            p_code = pd.factorize(kids["parent_path"], sort=False)[0]
+            c_arr = kids["child_text"].to_numpy()
+            c_code = pd.factorize(kids["child_text"], sort=True)[0]
+            sib = pd.to_numeric(kids["sibling_order"], errors="coerce").to_numpy(
+                dtype="float64"
             )
-        )
-        agg_in = kids.groupBy("url", "path_key").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sibling_order", "child_text"))),
-                    lambda x: x["child_text"],
-                ),
-                "\n\n",
-            ).alias("agg_text")
-        )
-        lvl = _summ_stage(
-            parents.select("url", "path_key").join(agg_in, ["url", "path_key"]),
-            "agg_text",
-            keep,
-        )
-        summaries = summaries.unionByName(lvl)
+            sib = np.where(np.isnan(sib), -np.inf, sib)
+            order = np.lexsort((c_code, sib, p_code, u_code))
+            u_arr = kids["url"].to_numpy()
+            p_arr = kids["parent_path"].to_numpy()
+            agg_rows: dict = {}
+            for i in order:
+                key = (u_arr[i], p_arr[i])
+                t = c_arr[i]
+                if t is None or (isinstance(t, float) and np.isnan(t)):
+                    agg_rows.setdefault(key, [])  # null skipped by array_join
+                else:
+                    agg_rows.setdefault(key, []).append(t)
+            if not agg_rows:
+                continue
+            agg = pd.DataFrame(
+                {
+                    "url": [k[0] for k in agg_rows],
+                    "path_key": [k[1] for k in agg_rows],
+                    "agg_text": ["\n\n".join(v) for v in agg_rows.values()],
+                }
+            )
+            parents = pdf[(pdf["depth"] == d) & (~pdf["is_leaf"].astype(bool))][
+                ["url", "path_key"]
+            ]
+            lvl = parents.merge(agg, on=["url", "path_key"], how="inner")
+            if len(lvl) == 0:
+                continue
+            lvl["summary"] = _summarize_series(lvl["agg_text"])
+            sums = pd.concat(
+                [sums, lvl[["url", "path_key", "summary"]]], ignore_index=True
+            )
+        out = pdf[in_cols].merge(sums, on=["url", "path_key"], how="left")
+        out["summary"] = out["summary"].where(out["summary"].notna(), None)
+        return out
 
-    return chunks.join(summaries, ["url", "path_key"], "left")
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if len(pdf) == 0:
+                continue
+            # a url's rows are contiguous (partition-sorted) but may
+            # continue into the next batch — hold the tail url back
+            tail_mask = pdf["url"] == pdf["url"].iloc[-1]
+            if tail_mask.all():
+                pend = pdf
+                continue
+            pend = pdf[tail_mask].reset_index(drop=True)
+            yield process(pdf[~tail_mask].reset_index(drop=True))
+        if pend is not None and len(pend):
+            yield process(pend)
+
+    return prepared.mapInPandas(run, schema)
 
 
 def document_summaries(chunks_summarized: DataFrame) -> DataFrame:
