@@ -201,6 +201,11 @@ def _banded_pairs(
     # reshuffles), but their count is data-dependent — a stop-text
     # corpus could make it large — so the broadcast is NOT forced:
     # AQE falls back to a shuffle anti-join when the set is big.
+    # Null-key semantics: the anti-join KEEPS null band_key rows where
+    # the old inner size join dropped them — harmless because band
+    # keys are built from non-null hashes (nulls impossible by
+    # construction) and the self-join below discards null keys anyway;
+    # if a future banding could yield nulls, filter isNotNull first.
     oversized = sizes.where(F.col("bs") > max_block).select("band_key")
     banded = banded.join(oversized, "band_key", "left_anti")
     a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
@@ -550,42 +555,152 @@ def _norm_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _collect_gram_vocab(norm_docs: DataFrame, k: int, max_vocab: int) -> list | None:
-    """Global sorted gram vocabulary, or None when it exceeds
-    ``max_vocab``. Each task emits its own DISTINCT grams (bounded by
-    the vocab size, not the corpus size), so the driver collect is
-    bounded by construction."""
+def _packed_grams_table(norm_docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, codes array<long>): per-doc DISTINCT packed grams
+    (k <= 3) in one Arrow pass over the normalized text. Checkpointed
+    by callers so the text is gram-extracted exactly ONCE — the
+    vocabulary collect and the mask/signature stats pass both read the
+    cached codes instead of re-deriving grams from text."""
+    from typing import Iterator
+
     import numpy as np
     import pyarrow as pa
 
-    if k <= 3:
-        # vectorized: tasks emit distinct PACKED int64 codes (8 bytes
-        # vs a string cell through the distinct shuffle); the bounded
-        # driver-side vocab decodes once per distinct gram
-        def emit_packed(batches):
-            acc = None
-            for b in batches:
-                texts = b.column("t").to_pylist()
-                if not texts:
-                    continue
-                _, p = _packed_doc_grams(texts, k)
-                u = np.unique(p)
-                acc = u if acc is None else np.union1d(acc, u)
-            if acc is not None and len(acc):
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(acc, type=pa.int64())], names=["gram"]
-                )
+    from pyspark.sql import types as T
 
-        rows = (
-            norm_docs.select("t")
-            .mapInArrow(emit_packed, "gram long")
-            .distinct()
-            .limit(max_vocab + 1)
-            .collect()
-        )
-        if len(rows) > max_vocab:
-            return None
-        return sorted(_unpack_gram(r["gram"], k) for r in rows)
+    schema = T.StructType(
+        [
+            norm_docs.schema["doc_id"],
+            T.StructField("codes", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            texts = b.column("t").to_pylist()
+            n = len(texts)
+            if n == 0:
+                continue
+            doc_of, packed = _packed_doc_grams(texts, k)
+            counts = np.bincount(doc_of, minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            codes = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(packed, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), codes], names=["doc_id", "codes"]
+            )
+
+    return norm_docs.mapInArrow(run, schema)
+
+
+def _collect_code_vocab(grams: DataFrame, max_vocab: int):
+    """Global sorted packed-gram vocabulary (np.int64 array) from the
+    codes table, or None above ``max_vocab``. Tasks emit their own
+    distinct codes (bounded by the vocab size, not the corpus), so the
+    driver collect is bounded by construction."""
+    import numpy as np
+    import pyarrow as pa
+
+    def emit(batches):
+        acc = None
+        for b in batches:
+            flat = b.column("codes").flatten()
+            u = np.unique(flat.to_numpy(zero_copy_only=False))
+            acc = u if acc is None else np.union1d(acc, u)
+        if acc is not None and len(acc):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(acc, type=pa.int64())], names=["gram"]
+            )
+
+    rows = (
+        grams.select("codes")
+        .mapInArrow(emit, "gram long")
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab:
+        return None
+    return np.sort(np.fromiter((r["gram"] for r in rows), dtype=np.int64, count=len(rows)))
+
+
+def _doc_gram_stats_from_codes(
+    grams: DataFrame, vocab_codes, k: int, n_perm: int
+) -> DataFrame:
+    """Stats pass over the cached codes table:
+    (doc_id, mask, sz[, h0..h{n_perm-1}]) per row. The mask bit index
+    is the code's rank in the SORTED packed vocabulary — a consistent
+    bijection (masks are only intersected against each other), and the
+    md5-derived g values are computed from the decoded gram strings so
+    signatures equal :func:`minhash_signatures` exactly."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    spark = grams.sparkSession
+    nbytes = (len(vocab_codes) + 7) // 8
+    g_vals = _vocab_g_vals([_unpack_gram(int(p), k) for p in vocab_codes])
+    b_vocab = spark.sparkContext.broadcast((vocab_codes, g_vals))
+    coeffs = _perm_coeffs(n_perm) if n_perm else []
+
+    fields = [grams.schema["doc_id"], T.StructField("mask", T.BinaryType(), False),
+              T.StructField("sz", T.LongType(), False)]
+    fields += [T.StructField(f"h{j}", T.LongType(), True) for j in range(n_perm)]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vp, gv_all = b_vocab.value
+        for b in batches:
+            col = b.column("codes")
+            n = len(col)
+            if n == 0:
+                continue
+            pk = col.flatten().to_numpy(zero_copy_only=False)
+            counts = col.value_lengths().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            codes = np.searchsorted(vp, pk)
+            codes = np.minimum(codes, len(vp) - 1)
+            if not np.array_equal(vp[codes], pk):
+                raise KeyError("doc grams absent from the collected vocabulary")
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            M = np.zeros((n, nbytes), dtype=np.uint8)
+            rows = np.repeat(np.arange(n), counts)
+            np.bitwise_or.at(
+                M, (rows, codes >> 3), (1 << (codes & 7)).astype(np.uint8)
+            )
+            arrays = [
+                b.column("doc_id"),
+                pa.array([M[i].tobytes() for i in range(n)], type=pa.binary()),
+                pa.array(counts, type=pa.int64()),
+            ]
+            if n_perm:
+                gv = gv_all[codes]
+                for a, b_ in coeffs:
+                    vals = (gv * a + b_) % MINHASH_P
+                    arrays.append(
+                        pa.array(np.minimum.reduceat(vals, starts), type=pa.int64())
+                    )
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["doc_id", "mask", "sz"] + [f"h{j}" for j in range(n_perm)]
+            )
+
+    return grams.mapInArrow(run, schema)
+
+
+def _collect_gram_vocab(norm_docs: DataFrame, k: int, max_vocab: int) -> list | None:
+    """Global sorted gram vocabulary (strings), or None when it exceeds
+    ``max_vocab`` — the k > 3 fallback; k <= 3 callers use the packed
+    codes pipeline above. Each task emits its own DISTINCT grams
+    (bounded by the vocab size, not the corpus size), so the driver
+    collect is bounded by construction."""
+    import pyarrow as pa
 
     def emit(batches):
         seen: set = set()
@@ -630,7 +745,9 @@ def _vocab_g_vals(vocab: list) -> "object":
 def _doc_gram_stats(
     norm_docs: DataFrame, k: int, vocab: list, n_perm: int
 ) -> DataFrame:
-    """One Arrow pass: (doc_id, mask, sz[, h0..h{n_perm-1}]) per row.
+    """One Arrow pass: (doc_id, mask, sz[, h0..h{n_perm-1}]) per row —
+    the k > 3 fallback (k <= 3 callers use
+    :func:`_doc_gram_stats_from_codes` over the cached codes table).
 
     mask = bitset over the global sorted vocab; sz = |gram set|;
     h_j = min((a_j * g + b_j) mod P) — identical values to
@@ -644,23 +761,9 @@ def _doc_gram_stats(
 
     spark = norm_docs.sparkSession
     nbytes = (len(vocab) + 7) // 8
-    if k <= 3:
-        # vectorized path: vocab as SORTED packed codes; the mask bit
-        # index is the code's rank (a consistent bijection — masks are
-        # only ever intersected against each other, so reindexing from
-        # string-sorted to packed-sorted order changes no output) and
-        # the md5-derived g values are re-aligned to that order.
-        vocab_packed = np.fromiter(
-            (_pack_gram(g, k) for g in vocab), dtype=np.int64, count=len(vocab)
-        )
-        vorder = np.argsort(vocab_packed, kind="stable")
-        b_vocab = spark.sparkContext.broadcast(
-            (vocab_packed[vorder], _vocab_g_vals(vocab)[vorder])
-        )
-    else:
-        b_vocab = spark.sparkContext.broadcast(
-            ({g: i for i, g in enumerate(vocab)}, _vocab_g_vals(vocab))
-        )
+    b_vocab = spark.sparkContext.broadcast(
+        ({g: i for i, g in enumerate(vocab)}, _vocab_g_vals(vocab))
+    )
     coeffs = _perm_coeffs(n_perm) if n_perm else []
 
     fields = [norm_docs.schema["doc_id"], T.StructField("mask", T.BinaryType(), False),
@@ -675,25 +778,15 @@ def _doc_gram_stats(
             n = len(texts)
             if n == 0:
                 continue
-            if k <= 3:
-                doc_of, pk = _packed_doc_grams(texts, k)
-                codes = np.searchsorted(idx, pk)
-                codes = np.minimum(codes, len(idx) - 1)
-                if not np.array_equal(idx[codes], pk):
-                    raise KeyError(
-                        "doc grams absent from the collected vocabulary"
-                    )
-                counts = np.bincount(doc_of, minlength=n)
-            else:
-                counts = np.empty(n, dtype=np.int64)
-                code_lists = []
-                for i, t in enumerate(texts):
-                    gs = _gram_set(t or "", k)
-                    code_lists.append(
-                        np.fromiter((idx[g] for g in gs), dtype=np.int64, count=len(gs))
-                    )
-                    counts[i] = len(gs)
-                codes = np.concatenate(code_lists)
+            counts = np.empty(n, dtype=np.int64)
+            code_lists = []
+            for i, t in enumerate(texts):
+                gs = _gram_set(t or "", k)
+                code_lists.append(
+                    np.fromiter((idx[g] for g in gs), dtype=np.int64, count=len(gs))
+                )
+                counts[i] = len(gs)
+            codes = np.concatenate(code_lists)
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             M = np.zeros((n, nbytes), dtype=np.uint8)
@@ -921,12 +1014,26 @@ def _minhash_fast(
     path, no shingle explode, no pair shuffle. None -> caller falls
     back to the distributed tier (unbounded vocab / too many docs /
     duplicate ids)."""
-    nd = _norm_docs(_ensure_parallel(df), id_col, text_col).localCheckpoint(eager=False)
-    vocab = _collect_gram_vocab(nd, k, max_vocab)
-    if vocab is None:
-        return None
-    stats = _doc_gram_stats(nd, k, vocab, n_perm).localCheckpoint(eager=False)
-    nbytes = (len(vocab) + 7) // 8
+    nd = _norm_docs(_ensure_parallel(df), id_col, text_col)
+    if k <= 3:
+        # gram-extract ONCE into a cached codes table; vocab collect
+        # and the stats pass both read it (the previous shape ran the
+        # full text -> grams derivation twice)
+        grams = _packed_grams_table(nd, k).localCheckpoint(eager=False)
+        vocab_codes = _collect_code_vocab(grams, max_vocab)
+        if vocab_codes is None:
+            return None
+        stats = _doc_gram_stats_from_codes(grams, vocab_codes, k, n_perm)
+        n_vocab = len(vocab_codes)
+    else:
+        nd = nd.localCheckpoint(eager=False)
+        vocab = _collect_gram_vocab(nd, k, max_vocab)
+        if vocab is None:
+            return None
+        stats = _doc_gram_stats(nd, k, vocab, n_perm)
+        n_vocab = len(vocab)
+    stats = stats.localCheckpoint(eager=False)
+    nbytes = (n_vocab + 7) // 8
     br = _mask_broadcasts(stats, nbytes, max_docs, max_mask_bytes)
     if br is None:
         return None
@@ -987,21 +1094,34 @@ def _ngram_fast(
     an exchange); big blocks are split into i-range chunks of
     ``chunk`` rows for parallelism."""
     base = _ensure_parallel(df)
-    nd = (
-        base.select(
-            F.col(id_col).alias("doc_id"),
-            _norm_text(F.col(text_col)).alias("t"),
-            F.col(block_col).alias("blk"),
+    nd = base.select(
+        F.col(id_col).alias("doc_id"),
+        _norm_text(F.col(text_col)).alias("t"),
+        F.col(block_col).alias("blk"),
+    )
+    if k <= 3:
+        grams = _packed_grams_table(nd.select("doc_id", "t"), k).localCheckpoint(
+            eager=False
         )
-        .localCheckpoint(eager=False)
-    )
-    vocab = _collect_gram_vocab(nd, k, max_vocab)
-    if vocab is None:
-        return None
-    stats = _doc_gram_stats(nd.select("doc_id", "t"), k, vocab, 0).localCheckpoint(
-        eager=False
-    )
-    nbytes = (len(vocab) + 7) // 8
+        vocab_codes = _collect_code_vocab(grams, max_vocab)
+        if vocab_codes is None:
+            return None
+        stats = _doc_gram_stats_from_codes(grams, vocab_codes, k, 0)
+        n_vocab = len(vocab_codes)
+        # the block table needs only (doc_id, blk): read them straight
+        # off the (column-pruned) source instead of checkpointing text
+        nd = base.select(
+            F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk")
+        )
+    else:
+        nd = nd.localCheckpoint(eager=False)
+        vocab = _collect_gram_vocab(nd, k, max_vocab)
+        if vocab is None:
+            return None
+        stats = _doc_gram_stats(nd.select("doc_id", "t"), k, vocab, 0)
+        n_vocab = len(vocab)
+    stats = stats.localCheckpoint(eager=False)
+    nbytes = (n_vocab + 7) // 8
     br = _mask_broadcasts(stats, nbytes, max_docs, max_mask_bytes)
     if br is None:
         return None

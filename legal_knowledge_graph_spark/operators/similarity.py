@@ -154,7 +154,13 @@ def lsh_bucket_tables(
 
     out = vectors.withColumn("_lshb", _buckets(F.col(vec_col)))
     for i, t in enumerate(tables):
-        out = out.withColumn(_bucket_col_name(t), F.col("_lshb")[i])
+        # the UDF always emits n_tables ints, but element_at on a
+        # UDF-produced array is nullable IntegerType; coalesce restores
+        # the non-null schema the old Catalyst fold gave consumers
+        # doing null-sensitive grouping/partitionBy on bucket columns
+        out = out.withColumn(
+            _bucket_col_name(t), F.coalesce(F.col("_lshb")[i], F.lit(0))
+        )
     return out.drop("_lshb")
 
 
@@ -358,10 +364,23 @@ def train_ivf_centroids(
     ``min(sample_limit, max_sample_bytes / (dim * 8))`` so a 3072-dim
     corpus trains on ~10k vectors under the 256 MB default instead of
     pulling 2.4 GB through the driver — Lloyd's needs ~100x k points,
-    not 100k unconditionally. The orderBy+limit plans as
-    TakeOrderedAndProject (top-k by hash), never a full sort.
+    not 100k unconditionally.
+
+    Round 6 (the count-guard discipline's sibling): the sample fetch is
+    byte-bounded BEFORE anything reaches the driver.
+    ``orderBy().limit(cap)`` plans as TakeOrderedAndProject, which
+    ships each partition's top-cap to the DRIVER and merges there —
+    fine when ``n_partitions * cap * dim * 8`` fits the sample byte
+    budget (the common case, and the fastest plan), but ~240 MB x
+    merge width at a 10k-row 3072-dim cap on a wide scan. Above the
+    budget the fetch switches to a two-stage executor-side top-cap
+    (per-task smallest-``cap`` keys, then one single-partition merge)
+    so the driver receives exactly <= cap rows via Arrow. Selected keys
+    are identical either way; equal keys are identical vector strings,
+    so Lloyd's sees the same matrix.
     """
     import numpy as np
+    import pandas as pd
 
     # max over a BOUNDED prefix, not the first row (a null/short first
     # vector would silently undersize the dim-aware cap) and not the
@@ -385,13 +404,30 @@ def train_ivf_centroids(
         return []
     dim = int(head["d"])
     cap = max(min(sample_limit, max_sample_bytes // (dim * 8)), k)
-    sample = (
-        vectors.select(F.md5(F.col(vec_col).cast("string")).alias("_k"), vec_col)
-        .orderBy("_k")
-        .limit(cap)
-        .collect()
-    )
-    X = np.array([r[vec_col] for r in sample], dtype="float64")
+    keyed = vectors.select(F.md5(F.col(vec_col).cast("string")).alias("_k"), vec_col)
+    n_parts = max(keyed.rdd.getNumPartitions(), 1)
+    if n_parts * cap * dim * 8 <= max_sample_bytes:
+        rows = keyed.orderBy("_k").limit(cap).collect()
+        X = np.array([r[vec_col] for r in rows], dtype="float64")
+    else:
+
+        def local_top(batches):
+            best = None
+            for pdf in batches:
+                cand = (
+                    pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+                )
+                best = cand.sort_values("_k", kind="mergesort").head(cap)
+            if best is not None and len(best):
+                yield best
+
+        merged = (
+            keyed.mapInPandas(local_top, keyed.schema)
+            .repartition(1)
+            .mapInPandas(local_top, keyed.schema)
+        )
+        pdf = merged.toPandas().sort_values("_k", kind="mergesort").head(cap)
+        X = np.array(pdf[vec_col].tolist(), dtype="float64")
     if len(X) == 0:
         return []
     norms = np.linalg.norm(X, axis=1, keepdims=True)
