@@ -148,35 +148,138 @@ def ngram_contamination(
     text_col: str,
     bench_text_col: str,
     n: int = 13,
+    max_bench_grams: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, n_contaminated_ngrams) for documents sharing >= 1 word
     ``n``-gram with the benchmark texts — the decontamination join run
     before an evaluation set is trusted.
 
-    Scale shape: the benchmark gram table is DISTINCT word n-grams of
-    the (small) eval set — explicitly ``broadcast()`` — and the corpus
-    side explodes its distinct n-grams map-side into a broadcast-hash
-    semi-join + per-doc count. The corpus table itself never shuffles;
-    the only aggregation is over matched grams (a tiny fraction).
+    Scale shape (round 6): the benchmark gram set is DISTINCT word
+    n-grams of the (small) eval set, count-guarded and broadcast; the
+    corpus side is ONE Arrow pass over the JVM-tokenized arrays that
+    matches each document's n-gram token-id windows against the
+    broadcast set — no per-gram string construction, no explode, no
+    join: the old path built ~(tokens - n) gram strings per document
+    and shuffled the exploded matches. The corpus never shuffles in
+    either shape; per-row match counts reduce through one tiny
+    aggregation over matched rows only. An eval set above
+    ``max_bench_grams`` falls back to the broadcast semi-join plan.
     """
+    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+
     bench_staged = bench.select(_tokens(F.col(bench_text_col)).alias("_t")).withColumn(
         "_g", _word_ngrams("_t", n)
     )
-    bench_grams = F.broadcast(
-        bench_staged.select(F.explode("_g").alias("gram")).distinct()
-    )
-    from legal_knowledge_graph_spark.functions.partitioning import ensure_parallel
+    bench_grams_df = bench_staged.select(F.explode("_g").alias("gram")).distinct()
 
-    # the n-gram fan-out is NARROW (tokenize -> transform -> explode),
-    # so a 1-2-split parquet corpus would run it on 1-2 cores
-    doc_staged = ensure_parallel(
+    doc_toks = ensure_parallel(
         docs.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_t"))
-    ).withColumn("_g", _word_ngrams("_t", n))
-    doc_grams = doc_staged.select(
-        "doc_id", F.explode(F.array_distinct("_g")).alias("gram")
     )
-    return (
-        doc_grams.join(bench_grams, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+
+    # count-guard-then-collect: the eval set is tiny by contract, but
+    # the guard keeps the driver byte-bounded before anything moves
+    bench_rows = bench_grams_df.limit(max_bench_grams + 1).collect()
+    if len(bench_rows) > max_bench_grams:
+        # the broadcast-hash semi-join fallback (the prior shape)
+        doc_staged = doc_toks.withColumn("_g", _word_ngrams("_t", n))
+        doc_grams = doc_staged.select(
+            "doc_id", F.explode(F.array_distinct("_g")).alias("gram")
+        )
+        return (
+            doc_grams.join(F.broadcast(bench_grams_df), "gram", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        )
+
+    # tokens contain no whitespace and grams join them with a single
+    # space, so gram-string equality == token-sequence equality
+    bench_tok = [r["gram"].split(" ") for r in bench_rows]
+
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    b_bench = spark.sparkContext.broadcast(bench_tok)
+    out_schema = T.StructType(
+        [
+            doc_toks.schema["doc_id"],
+            T.StructField("n_matched", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        grams = b_bench.value
+
+        for b in batches:
+            col = b.column("_t")
+            n_docs = len(col)
+            if n_docs == 0:
+                continue
+            flat = col.flatten()
+            lens = col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = flat.dictionary_encode()
+            ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = enc.dictionary.to_pylist()
+            tok2id = {t: i for i, t in enumerate(uniq)}
+            # bench grams resolvable in THIS batch's token vocabulary
+            bmat = []
+            for toks in grams:
+                row = [tok2id.get(t) for t in toks]
+                if None not in row:
+                    bmat.append(row)
+            # window starts: docs with len >= n contribute len-n+1
+            ng = np.maximum(lens - n + 1, 0)
+            total = int(ng.sum())
+            if total == 0 or not bmat:
+                continue
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            g_end = np.cumsum(ng)
+            doc_of = np.repeat(np.arange(n_docs), ng)
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(g_end - ng, ng)
+                + np.repeat(starts, ng)
+            )
+            # (windows, n) id matrix; big-endian view makes bytewise
+            # void comparison == lexicographic id comparison
+            W = np.empty((total, n), dtype=">i8")
+            for j in range(n):
+                W[:, j] = ids[pos + j]
+            B = np.sort(
+                np.ascontiguousarray(np.array(bmat, dtype=">i8")).view("V%d" % (8 * n)).ravel()
+            )
+            Wv = np.ascontiguousarray(W).view("V%d" % (8 * n)).ravel()
+            idx = np.searchsorted(B, Wv)
+            idx = np.minimum(idx, len(B) - 1)
+            matched = B[idx] == Wv
+            if not matched.any():
+                continue
+            # distinct matched grams per doc (the old path array_distincts
+            # each row's grams before exploding)
+            md, mv = doc_of[matched], Wv[matched]
+            order = np.lexsort((mv, md))
+            md, mv = md[order], mv[order]
+            first = np.empty(len(md), dtype=bool)
+            first[:1] = True
+            first[1:] = (md[1:] != md[:-1]) | (mv[1:] != mv[:-1])
+            counts = np.bincount(md[first], minlength=n_docs)
+            keep = counts > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id").filter(pa.array(keep)),
+                    pa.array(counts[keep], type=pa.int64()),
+                ],
+                names=["doc_id", "n_matched"],
+            )
+
+    per_row = doc_toks.mapInArrow(run, out_schema)
+    # rows with duplicate doc_id accumulate like the exploded groupBy
+    # did (per-row distinct, summed across rows)
+    return per_row.groupBy("doc_id").agg(
+        F.sum("n_matched").alias("n_contaminated_ngrams")
     )

@@ -80,8 +80,36 @@ def test_ngram_contamination_flags_exact_overlap(spark):
     assert got[2] == 2
 
 
-def test_ngram_contamination_plan_broadcasts_bench(spark):
+def test_ngram_contamination_plan_never_shuffles_corpus(spark):
+    """Round 6: the bounded-bench path matches token-id windows inside
+    one Arrow pass — the corpus side must reach the map stage with no
+    join and no explode; the only aggregation is over matched rows."""
     docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
     bench = spark.createDataFrame([("a b c",)], "q string")
-    plan = ngram_contamination(docs, bench, "doc_id", "text", "q", n=3)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        ngram_contamination(docs, bench, "doc_id", "text", "q", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    assert "Join" not in plan and "Generate" not in plan  # no join, no explode
+
+
+def test_ngram_contamination_oversized_bench_falls_back_to_join(spark):
+    """Above max_bench_grams the broadcast semi-join plan (the scale
+    fallback) must be used and produce the same rows."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y z")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("a b c",), ("b c d",)], "q string")
+    fast = sorted(
+        tuple(r)
+        for r in ngram_contamination(docs, bench, "doc_id", "text", "q", n=3).collect()
+    )
+    slow_df = ngram_contamination(
+        docs, bench, "doc_id", "text", "q", n=3, max_bench_grams=1
+    )
+    plan = slow_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert sorted(tuple(r) for r in slow_df.collect()) == fast
