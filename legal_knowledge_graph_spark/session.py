@@ -44,8 +44,17 @@ def get_spark(
         # task overhead. AQE coalesces down when partitions are tiny.
         shuffle_partitions = max(2 * cores, 8)
 
+    # local[N, F]: tolerate F-1 task retries like a real cluster
+    # (spark.task.maxFailures defaults to 4 on a cluster; plain
+    # local[N] aborts the whole job on the FIRST failure). The round-6
+    # 400k/800k scaling runs hit intermittent sandbox-level Python
+    # worker deaths (different stages each time, no kernel OOM, clean
+    # reruns of identical code/data) — on a deterministic workload a
+    # retried task recomputes the identical split, so retries are
+    # output-safe and only cost time when a failure actually happens.
+    task_failures = int(os.environ.get("SPARK_GRAFT_TASK_MAX_FAILURES", "4"))
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(f"local[{cores},{task_failures}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
@@ -63,6 +72,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # dump a Python-level traceback if a worker ever dies mid-task
+        # (the round-6 intermittent worker deaths were undiagnosable
+        # without it); negligible steady-state cost
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     if extra_conf:
