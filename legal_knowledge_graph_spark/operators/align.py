@@ -30,6 +30,14 @@ import re
 
 _TOKEN_RE = re.compile(r"\S+")
 
+# Below this many windows the plain pruning-ladder loop beats numpy
+# setup overhead; above it the vectorized bound scan wins (measured
+# crossover ~150-200 windows for mid-content targets; the gap grows
+# to >40x at 3k windows). Both paths are output-identical — the fuzz
+# test in tests/test_align.py pins them against the naive difflib
+# oracle with the cutoff forced to each side.
+_VECTORIZE_MIN_WINDOWS = 160
+
 
 class DocAligner:
     """Per-document alignment context: tokenization, lowercase view,
@@ -56,13 +64,45 @@ class DocAligner:
        quadratic ratio() cost.
     """
 
-    __slots__ = ("content", "content_lower", "token_spans", "start_index")
+    __slots__ = (
+        "content",
+        "content_lower",
+        "token_spans",
+        "start_index",
+        "_starts",
+        "_ends",
+        "_codes",
+        "_char_cum",
+    )
 
     def __init__(self, content: str):
         self.content = content
         self.content_lower = content.lower()
         self.token_spans = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(content)]
         self.start_index = {s: i for i, (s, _) in enumerate(self.token_spans)}
+        # lazy per-document state for the vectorized bound scan
+        self._starts = None
+        self._ends = None
+        self._codes = None
+        self._char_cum = {}
+
+    def _cum_for_char(self, code: int):
+        """Prefix-sum occurrence count of one codepoint over the
+        lowercased content: cum[i] = occurrences in content_lower[:i].
+        Cached per document — targets share most of their alphabet."""
+        cum = self._char_cum.get(code)
+        if cum is None:
+            import numpy as np
+
+            if self._codes is None:
+                # one uint32 per codepoint == one array slot per str index
+                self._codes = np.frombuffer(
+                    self.content_lower.encode("utf-32-le"), dtype=np.uint32
+                )
+            cum = np.zeros(len(self._codes) + 1, dtype=np.int32)
+            np.cumsum(self._codes == code, out=cum[1:], dtype=np.int32)
+            self._char_cum[code] = cum
+        return cum
 
     def best_window(self, target_sentence: str) -> tuple[int, int, float]:
         """First-wins argmax of SequenceMatcher.ratio over token windows."""
@@ -95,6 +135,10 @@ class DocAligner:
         # If the target has more tokens than the content, no full window
         # exists: the scan range is empty and the initialized (0, 0, -1.0)
         # is returned — matching the reference's loop bounds exactly.
+        if n_windows > _VECTORIZE_MIN_WINDOWS and la > 0:
+            return self._best_window_vectorized(
+                target_lower, window, n_windows
+            )
         best_score = -1.0
         best_start, best_end = 0, 0
         matcher = difflib.SequenceMatcher(None, target_lower, "")
@@ -115,6 +159,64 @@ class DocAligner:
             score = matcher.ratio()
             if score > best_score:
                 best_score = score
+                best_start, best_end = w_start, w_end
+        return best_start, best_end, best_score
+
+    def _best_window_vectorized(
+        self, target_lower: str, window: int, n_windows: int
+    ) -> tuple[int, int, float]:
+        """Same first-wins argmax, computed as: (1) every window's
+        ``quick_ratio`` upper bound in one numpy pass — difflib's
+        quick_ratio IS ``2*sum_c min(count_a(c), count_b(c))/(la+lb)``
+        and only characters present in the target can contribute, so
+        per-target-char prefix sums give all windows' bounds at once;
+        (2) true ``ratio()`` only for candidates in descending-bound
+        order, breaking as soon as the bound drops strictly below the
+        running best (``ratio <= quick_ratio``, so skipped windows
+        cannot beat OR tie-and-precede the winner once equal bounds
+        are still evaluated).
+
+        First-wins equivalence: the sequential strict-``>`` scan keeps
+        the LOWEST-index maximum, so out-of-order evaluation with an
+        explicit ``(score, index)`` tiebreak reproduces it exactly.
+        Guarded by the difflib-oracle fuzz + hypothesis suite."""
+        import numpy as np
+
+        if self._starts is None:
+            spans = np.asarray(self.token_spans, dtype=np.int64).reshape(-1, 2)
+            self._starts = np.ascontiguousarray(spans[:, 0])
+            self._ends = np.ascontiguousarray(spans[:, 1])
+        w_starts = self._starts[:n_windows]
+        w_ends = self._ends[window - 1 :]
+
+        la = len(target_lower)
+        t_codes = np.frombuffer(target_lower.encode("utf-32-le"), dtype=np.uint32)
+        uniq, t_counts = np.unique(t_codes, return_counts=True)
+        matches = np.zeros(n_windows, dtype=np.int64)
+        for code, t_c in zip(uniq.tolist(), t_counts.tolist()):
+            cum = self._cum_for_char(code)
+            w_c = (cum[w_ends] - cum[w_starts]).astype(np.int64)
+            np.minimum(w_c, t_c, out=w_c)
+            matches += w_c
+        bound = (2.0 * matches) / (la + (w_ends - w_starts))
+
+        # descending bound; stable => ascending index within ties
+        order = np.argsort(-bound, kind="stable")
+        content_lower = self.content_lower
+        best_score = -1.0
+        best_i = -1
+        best_start, best_end = 0, 0
+        matcher = difflib.SequenceMatcher(None, target_lower, "")
+        for i in order.tolist():
+            if bound[i] < best_score:
+                break
+            w_start = int(w_starts[i])
+            w_end = int(w_ends[i])
+            matcher.set_seq2(content_lower[w_start:w_end])
+            score = matcher.ratio()
+            if score > best_score or (score == best_score and i < best_i):
+                best_score = score
+                best_i = i
                 best_start, best_end = w_start, w_end
         return best_start, best_end, best_score
 

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from legal_knowledge_graph_spark.operators.align import best_window_by_words
+from legal_knowledge_graph_spark.operators.align import DocAligner
 
 _HEADING_RE = re.compile(r"^(ARTICLE [IVXLC]+\.|Section \d+\.\d+ )", re.MULTILINE)
 
@@ -98,9 +98,14 @@ def detect_structure_sequential(
                 if url != cur_url:
                     cur_url, seen, offset = url, set(), 0
                 text = text or ""
-                for key in _detect_page(text, seen):
-                    s, e, _score = best_window_by_words(text, key)
-                    rows.append((url, key, int(idx), offset + s, offset + e))
+                keys = _detect_page(text, seen)
+                if keys:
+                    # one aligner per page: tokenization + prefix sums
+                    # are shared by every heading on the page
+                    aligner = DocAligner(text)
+                    for key in keys:
+                        s, e, _score = aligner.best_window(key)
+                        rows.append((url, key, int(idx), offset + s, offset + e))
                 offset += len(text)
             yield pd.DataFrame(rows, columns=cols)
 

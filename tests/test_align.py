@@ -87,3 +87,44 @@ def test_matches_oracle_on_fuzz():
         if rng.random() < 0.3:  # mutate to force fuzziness
             target = target.replace("a", "o", 1)
         assert best_window_by_words(content, target) == _oracle(content, target)
+
+
+def test_vectorized_path_matches_oracle_on_large_fuzz():
+    """The vectorized bound scan must equal the naive difflib scan:
+    heavy repetition (near-ties), punctuation-attached tokens (the
+    structure-detector shape), and astral codepoints (utf-32 view
+    correctness). The cutoff is forced to each side so BOTH paths run
+    on identical inputs regardless of the production value."""
+    import random
+
+    import legal_knowledge_graph_spark.operators.align as al_mod
+    from legal_knowledge_graph_spark.operators.align import DocAligner
+
+    rng = random.Random(13)
+    words = [
+        "ARTICLE", "IV.", "IV", "Section", "4.12", "shall", "the", "a",
+        "née", "🎉x", "aa", "ab", "b",
+    ]
+    saved = al_mod._VECTORIZE_MIN_WINDOWS
+    try:
+        for trial in range(60):
+            n = rng.randrange(26, 150)
+            content = " ".join(rng.choice(words) for _ in range(n))
+            target = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(1, 5))
+            )
+            if rng.random() < 0.4:
+                target = target.rstrip(".")
+            want = _oracle(content, target)
+            al_mod._VECTORIZE_MIN_WINDOWS = 8  # force vectorized
+            aligner = DocAligner(content)
+            got_vec = aligner.best_window(target)
+            # repeated target against one aligner (the cached-prefix-
+            # sum path structure/chunker uses)
+            assert aligner.best_window(target) == got_vec
+            al_mod._VECTORIZE_MIN_WINDOWS = 10**9  # force sequential
+            got_seq = DocAligner(content).best_window(target)
+            assert got_vec == want, (trial, content, target, got_vec, want)
+            assert got_seq == want, (trial, content, target, got_seq, want)
+    finally:
+        al_mod._VECTORIZE_MIN_WINDOWS = saved

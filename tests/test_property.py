@@ -52,11 +52,21 @@ def _naive_best_window(content: str, target: str):
 @settings(max_examples=200, deadline=None)
 @given(content_words=_WORDS, target_words=_WORDS)
 def test_pruned_kernel_equals_naive_scan(content_words, target_words):
+    import legal_knowledge_graph_spark.operators.align as al_mod
+
     content = " ".join(content_words)
     target = " ".join(target_words)
-    got = DocAligner(content).best_window(target)
     want = _naive_best_window(content, target)
-    assert got == want, (content, target)
+    # both physical paths must match the reference on every example,
+    # whatever the production cutoff routes to
+    saved = al_mod._VECTORIZE_MIN_WINDOWS
+    try:
+        al_mod._VECTORIZE_MIN_WINDOWS = 10**9  # sequential ladder
+        assert DocAligner(content).best_window(target) == want, (content, target)
+        al_mod._VECTORIZE_MIN_WINDOWS = 0  # vectorized bound scan
+        assert DocAligner(content).best_window(target) == want, (content, target)
+    finally:
+        al_mod._VECTORIZE_MIN_WINDOWS = saved
 
 
 @settings(max_examples=120, deadline=None)
