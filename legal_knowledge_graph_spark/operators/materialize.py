@@ -261,9 +261,10 @@ def attach_vectors(nodes: DataFrame, dim: int = 64) -> DataFrame:
     summary-else-content rule (reference database.py:153-157,
     search_chunk.py:42) — Corpus vectors use summary-else-content too
     (database.py:183-196). Pure map stage."""
-    from typing import Iterator
+    from typing import Iterator  # noqa: F401  (signature annotation)
 
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute  # noqa: F401  (pa.compute used in run)
 
     from pyspark.sql import types as T
 
@@ -284,17 +285,39 @@ def attach_vectors(nodes: DataFrame, dim: int = 64) -> DataFrame:
         + [T.StructField("vector", T.ArrayType(T.FloatType()), True)]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vecs = embed_texts_np(list(pdf["_vec_text"].fillna("")), dim)
-            out = pdf[out_cols].copy()
-            out["vector"] = [
-                None if lbl == "Entity" else v
-                for lbl, v in zip(pdf["label"], vecs)
-            ]
-            yield out
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        # mapInArrow, not mapInPandas: the node payload (content /
+        # summary / toc_json) rides through as Arrow buffers — only
+        # `_vec_text` (the one column the embedder needs) and `label`
+        # are materialized as Python objects. The pandas form converted
+        # every heavy string column to Python objects and back per
+        # batch (round-6 second half).
+        import numpy as np
 
-    return ensure_parallel(with_text).mapInPandas(run, schema)
+        for batch in batches:
+            texts = [t or "" for t in batch.column("_vec_text").to_pylist()]
+            vecs = embed_texts_np(texts, dim)
+            ent = np.asarray(
+                pa.compute.equal(batch.column("label"), "Entity").to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=bool,
+            )
+            n = batch.num_rows
+            counts = np.where(ent, 0, dim).astype(np.int64)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            vec_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(vecs[~ent].astype(np.float32).ravel(), pa.float32()),
+                mask=pa.array(ent),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(c) for c in out_cols] + [vec_arr],
+                names=out_cols + ["vector"],
+            )
+
+    return ensure_parallel(with_text).mapInArrow(run, schema)
 
 
 def entity_degrees_salted(triples: DataFrame, n_salts: int = 16) -> DataFrame:
