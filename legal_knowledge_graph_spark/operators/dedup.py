@@ -1359,14 +1359,36 @@ def simhash_near_duplicates(
     # sort by struct = sort by doc_id (unique within a bucket: band_key
     # values from different bands never collide), so doc_a < doc_b
     # falls out of position order
-    units = (
+    buckets = (
         banded.groupBy("band_key")
         .agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem"),
             F.count(F.lit(1)).alias("bs"),
         )
-        .where((F.col("bs") >= 2) & (F.col("bs") <= max_block))
-        .select(F.col("mem.doc_id").alias("ids"), F.col("mem.simhash").alias("shs"))
+        .localCheckpoint(eager=False)
+    )
+    # A Hamming-close pair agrees on SEVERAL bands (h<=1 agrees on 3 of
+    # 4), so enumerating every agreeing bucket emitted each pair ~3-4x
+    # and the trailing distinct shuffled all of it. First-surviving-band
+    # rule instead: a bucket emits a pair only if no EARLIER band both
+    # agrees and survived the cap — every pair surfaces exactly once
+    # (from the first surviving agreeing band), which is set-identical
+    # to distinct-over-all-surviving-buckets. The dropped band_keys
+    # (rare by construction; <= rows/max_block of them can exist) are
+    # collected from the same materialized groupBy and broadcast so cap
+    # semantics are unchanged: a pair whose earlier agreeing bucket was
+    # dropped is still emitted by its first SURVIVING band.
+    dropped_keys = sorted(
+        r["band_key"]
+        for r in buckets.where(F.col("bs") > max_block).select("band_key").collect()
+    )
+    units = (
+        buckets.where((F.col("bs") >= 2) & (F.col("bs") <= max_block))
+        .select(
+            "band_key",
+            F.col("mem.doc_id").alias("ids"),
+            F.col("mem.simhash").alias("shs"),
+        )
         # round-robin spread: unit rows are tiny but fan out to
         # O(bs^2) pairs — AQE's byte-based coalescing would serialize
         # the verify (same rationale as the jaccard units)
@@ -1381,8 +1403,30 @@ def simhash_near_duplicates(
     )
     flush_pairs = 1 << 20
 
+    dropped_arr_host = dropped_keys
+    band_mask = (1 << rpb) - 1
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def verify(da, db, fa, fb) -> "pd.DataFrame":
+        dropped_arr = np.asarray(dropped_arr_host, dtype=np.int64)
+
+        def verify(da, db, fa, fb, bb) -> "pd.DataFrame":
+            # first-surviving-band rule: drop the pair here if an
+            # EARLIER band agrees and that band's bucket survived the
+            # cap (the pair is emitted there instead)
+            keep_first = np.ones(len(da), dtype=bool)
+            for b2 in range(bands - 1):
+                earlier = bb > b2
+                if not earlier.any():
+                    continue
+                va = (fa >> (b2 * rpb)) & band_mask
+                agree = earlier & (
+                    va == ((fb >> (b2 * rpb)) & band_mask)
+                )
+                if dropped_arr.size:
+                    agree &= ~np.isin(b2 * (1 << rpb) + va, dropped_arr)
+                keep_first &= ~agree
+            da, db = da[keep_first], db[keep_first]
+            fa, fb = fa[keep_first], fb[keep_first]
             x = (fa ^ fb).astype(np.uint64)[:, None]
             ham = _swar_popcount_rows(x).astype("int32")
             keep = ham <= max_hamming
@@ -1391,8 +1435,10 @@ def simhash_near_duplicates(
             )
 
         for pdf_b in batches:
-            acc_a, acc_b, acc_fa, acc_fb, acc_n = [], [], [], [], 0
-            for ids_l, sh_l in zip(pdf_b["ids"], pdf_b["shs"]):
+            acc_a, acc_b, acc_fa, acc_fb, acc_bb, acc_n = [], [], [], [], [], 0
+            for bkey, ids_l, sh_l in zip(
+                pdf_b["band_key"], pdf_b["ids"], pdf_b["shs"]
+            ):
                 ids_arr = np.asarray(ids_l)
                 fp_arr = np.asarray(sh_l, dtype=np.int64)
                 m = len(ids_arr)
@@ -1411,21 +1457,30 @@ def simhash_near_duplicates(
                 acc_b.append(ids_arr[ib])
                 acc_fa.append(fp_arr[ia])
                 acc_fb.append(fp_arr[ib])
+                acc_bb.append(
+                    np.full(len(ia), int(bkey) >> rpb, dtype=np.int64)
+                )
                 acc_n += len(ia)
                 if acc_n >= flush_pairs:
                     yield verify(
                         np.concatenate(acc_a), np.concatenate(acc_b),
                         np.concatenate(acc_fa), np.concatenate(acc_fb),
+                        np.concatenate(acc_bb),
                     )
-                    acc_a, acc_b, acc_fa, acc_fb, acc_n = [], [], [], [], 0
+                    acc_a, acc_b, acc_fa, acc_fb, acc_bb, acc_n = (
+                        [], [], [], [], [], 0
+                    )
             if acc_a:
                 yield verify(
                     np.concatenate(acc_a), np.concatenate(acc_b),
                     np.concatenate(acc_fa), np.concatenate(acc_fb),
+                    np.concatenate(acc_bb),
                 )
 
-    # distinct deferred to the (tiny) thresholded output — the Hamming
-    # verify is idempotent per pair (same rationale as the MinHash tier)
+    # distinct retained for exact parity on degenerate inputs with
+    # repeated doc_ids (several positions can form the same id pair) —
+    # but the first-surviving-band rule already emits each position
+    # pair once, so its input is ~bands-times smaller than before
     return units.mapInPandas(run, out_schema).distinct()
 
 

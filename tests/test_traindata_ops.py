@@ -735,3 +735,56 @@ def test_simhash_near_dup_bucket_local_equals_bruteforce(spark, docs):
             if h <= 3:
                 want.add((a, b, h))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_simhash_near_dup_first_band_rule_with_dropped_buckets(spark, docs):
+    """Force buckets over the cap (max_block=3 on a corpus with planted
+    near-identical clusters) so the first-surviving-band emission must
+    consult the dropped-bucket set: a pair whose earliest agreeing band
+    landed in a dropped bucket must still surface from its first
+    SURVIVING band, and the output must equal the distinct-over-all-
+    surviving-buckets semantics recomputed from scratch."""
+    import itertools
+    from collections import defaultdict
+
+    from legal_knowledge_graph_spark.operators.dedup import (
+        simhash as simhash_fn,
+        simhash_near_duplicates,
+    )
+
+    d = docs.where("doc_id < 80").select("doc_id", "text")
+    # two mutation families -> many hamming<=3 pairs sharing band values
+    muts = [
+        d.where("doc_id < 25").select(
+            (F.col("doc_id") + 10000 * i).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+", w).alias("text"),
+        )
+        for i, w in ((1, "zzz"), (2, "qqq"))
+    ]
+    corpus = d.unionByName(muts[0]).unionByName(muts[1])
+    max_block = 3
+    got = sorted(
+        tuple(r)
+        for r in simhash_near_duplicates(
+            corpus, "doc_id", "text", max_hamming=3, max_block=max_block
+        ).collect()
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fn(corpus, "doc_id", "text").collect()
+    }
+    buckets = defaultdict(list)
+    for i, s in fps.items():
+        for b in range(4):
+            buckets[(b, (s >> (b * 8)) & 255)].append(i)
+    n_dropped = sum(1 for mem in buckets.values() if len(mem) > max_block)
+    assert n_dropped > 0  # the dropped-keys path must actually fire
+    want = set()
+    for mem in buckets.values():
+        if len(mem) > max_block:
+            continue
+        for a, b in itertools.combinations(sorted(mem), 2):
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == sorted(want)
