@@ -610,20 +610,31 @@ def _collect_code_vocab(grams: DataFrame, max_vocab: int):
             u = np.unique(flat.to_numpy(zero_copy_only=False))
             acc = u if acc is None else np.union1d(acc, u)
         if acc is not None and len(acc):
+            if len(acc) > max_vocab:
+                # this task alone proves the vocab is over budget:
+                # max_vocab+1 distinct codes are enough to trip the
+                # global guard, and truncating bounds what the shuffle
+                # and driver ever see on unbounded-vocab corpora
+                acc = acc[: max_vocab + 1]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(acc, type=pa.int64())], names=["gram"]
             )
 
-    rows = (
+    # count-guard-then-collect over a checkpointed distinct (the
+    # CLAUDE.md round-5 CollectLimit finding): distinct+limit+collect
+    # scheduled 1-then-4x incremental waves (serial jobs) and shipped
+    # up to limit rows PER PARTITION in the overflow case; here the
+    # count runs all partitions in one wave and the Arrow fetch reads
+    # the materialized distinct only when it is provably <= max_vocab.
+    dn = (
         grams.select("codes")
         .mapInArrow(emit, "gram long")
         .distinct()
-        .limit(max_vocab + 1)
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    if len(rows) > max_vocab:
+    if dn.count() > max_vocab:
         return None
-    return np.sort(np.fromiter((r["gram"] for r in rows), dtype=np.int64, count=len(rows)))
+    return np.sort(dn.toPandas()["gram"].to_numpy(dtype=np.int64))
 
 
 def _doc_gram_stats_from_codes(
@@ -708,20 +719,28 @@ def _collect_gram_vocab(norm_docs: DataFrame, k: int, max_vocab: int) -> list | 
             for t in b.column("t").to_pylist():
                 seen.update(_gram_set(t or "", k))
         if seen:
+            out = sorted(seen)
+            if len(out) > max_vocab:
+                # over-budget proof needs only max_vocab+1 distinct
+                # grams; truncation bounds the shuffle on unbounded
+                # corpora (same rule as the packed-code collector)
+                out = out[: max_vocab + 1]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(sorted(seen), type=pa.string())], names=["gram"]
+                [pa.array(out, type=pa.string())], names=["gram"]
             )
 
-    rows = (
+    # count-guard-then-collect over a checkpointed distinct — see
+    # _collect_code_vocab for why distinct+limit+collect is neither
+    # fast (incremental CollectLimit waves) nor byte-bounded here.
+    dn = (
         norm_docs.select("t")
         .mapInArrow(emit, "gram string")
         .distinct()
-        .limit(max_vocab + 1)
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    if len(rows) > max_vocab:
+    if dn.count() > max_vocab:
         return None
-    return sorted(r["gram"] for r in rows)
+    return sorted(dn.toPandas()["gram"].tolist())
 
 
 def _vocab_g_vals(vocab: list) -> "object":
