@@ -17,8 +17,23 @@ from pyspark.sql import DataFrame
 
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Repartition iff the input has fewer partitions than half the
-    default parallelism; no-op otherwise."""
+    default parallelism; no-op otherwise.
+
+    Under-parallelism only afflicts NARROW plans rooted at a few input
+    splits: any Exchange between the scan and this operator already
+    spreads the data across the (cores-scaled) shuffle partitions. The
+    Exchange probe matters for cost too — ``df.rdd`` on an AQE plan
+    triggers getFinalPhysicalPlan(), which EXECUTES every upstream
+    query stage on the driver thread at plan-BUILD time and then
+    re-executes it at action time (measured: ~5 s of serial build time
+    in the 400k-page nodes stage before this check existed). On an
+    exchange-free plan ``df.rdd`` is pure planning and stays cheap."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if target > 1 and df.rdd.getNumPartitions() < max(target // 2, 2):
+    if target <= 1:
+        return df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
         return df.repartition(target)
     return df
