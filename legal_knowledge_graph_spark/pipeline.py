@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from legal_knowledge_graph_spark.functions.partitioning import (
+    repartition_buckets_balanced,
+)
 from legal_knowledge_graph_spark.operators.checkpoint import StageCatalog
+from legal_knowledge_graph_spark.operators.materialize import N_BUCKETS
 from legal_knowledge_graph_spark.operators.chunker import chunk_documents
 from legal_knowledge_graph_spark.operators.extract import extract_text
 from legal_knowledge_graph_spark.operators.linking import link_entities
@@ -123,16 +127,28 @@ def run_pipeline(
         # attach_vectors is a true single-pass map since round 6 (no
         # self-join), so the union has ONE consumer and needs no
         # checkpoint — one materialization fewer per run.
-        # Stage boundary 3: materialize — cluster by id bucket so the
-        # bucketed write produces one file set per bucket.
-        return attach_vectors(nodes, dim=embed_dim).repartition(F.col("bucket"))
+        # Stage boundary 3: materialize — cluster by id bucket for the
+        # partitioned write, with EXACT slot balance: plain
+        # repartition(bucket) Poisson-hashes 32 bucket values into the
+        # cores-scaled shuffle slots (at 64 slots the busiest write
+        # task held 3/32 of ALL node data vs an ideal 0.5/32 — a 6x
+        # data-proportional straggler that throttled the 4x-cores
+        # scaling leg), and AQE REBALANCE re-coalesces to
+        # advisory-sized partitions, starving write parallelism
+        # instead. See repartition_buckets_balanced.
+        return repartition_buckets_balanced(
+            attach_vectors(nodes, dim=embed_dim), "bucket", N_BUCKETS
+        )
 
     nodes = cat.stage("nodes", _nodes, partition_col="bucket", force=force)
 
     def _edges() -> DataFrame:
-        return finish_edges(
-            tree_edges(chunks_abs).unionByName(triple_edges(triples))
-        ).repartition(F.col("bucket"))
+        # same balanced-write rationale as the nodes write above
+        return repartition_buckets_balanced(
+            finish_edges(tree_edges(chunks_abs).unionByName(triple_edges(triples))),
+            "bucket",
+            N_BUCKETS,
+        )
 
     edges = cat.stage("edges", _edges, partition_col="bucket", force=force)
 

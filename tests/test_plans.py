@@ -157,3 +157,45 @@ def test_batch_topk_broadcasts_queries(spark, sf_dir):
     phys = _physical(df)
     assert "BroadcastNestedLoopJoin" in phys or "BroadcastHashJoin" in phys
     assert "CartesianProduct" not in phys
+
+
+def test_murmur3_int32_matches_spark_hash(spark):
+    """The balanced bucket write inverts Spark's Murmur3 int hash on
+    the driver; if the engine's hash ever changed, the write would
+    silently skew (never corrupt) — this pin makes it loud."""
+    from pyspark.sql import functions as F
+
+    from legal_knowledge_graph_spark.functions.partitioning import murmur3_int32
+
+    rows = (
+        spark.range(-500, 2000)
+        .select(F.col("id").cast("int").alias("i"), F.hash(F.col("id").cast("int")).alias("h"))
+        .collect()
+    )
+    assert all(murmur3_int32(r["i"]) == r["h"] for r in rows)
+
+
+def test_repartition_buckets_balanced_one_slot_per_bucket(spark):
+    """Every bucket value must land in its own shuffle slot (exact
+    balance), and the rows must be exactly preserved."""
+    from pyspark.sql import functions as F
+
+    from legal_knowledge_graph_spark.functions.partitioning import (
+        repartition_buckets_balanced,
+    )
+
+    df = spark.range(3200).select(
+        F.col("id").alias("k"), (F.col("id") % 32).cast("int").alias("bucket")
+    )
+    out = repartition_buckets_balanced(df, "bucket", 32)
+    per_part = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct("bucket").alias("nb"), F.count("*").alias("n"))
+        .collect()
+    )
+    # one bucket per non-empty slot, 100 rows each
+    assert all(r["nb"] == 1 and r["n"] == 100 for r in per_part)
+    assert len(per_part) == 32
+    assert out.count() == 3200
+    assert out.select(F.sum("k")).first()[0] == sum(range(3200))
